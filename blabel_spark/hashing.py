@@ -1,0 +1,155 @@
+"""Bit-exact hash kernels for blabel-compatible canonical labelling.
+
+The reference (aidhog/blabel) hashes RDF terms with Guava's md5
+``HashFunction`` and folds hash lists with Guava's ``Hashing.combineOrdered``
+/ ``combineUnordered`` (Guava 18, pinned at reference pom.xml:52-55).  Those
+combinators are simple per-byte arithmetic over the 16-byte digests:
+
+* ``combineOrdered``:   r[i] = (r[i] * 37) ^ next[i]      (zero-initialised)
+* ``combineUnordered``: r[i] = (r[i] + next[i]) mod 256   (zero-initialised)
+
+Term hashing (reference ``label/util/HashGraph.java:141-155``):
+
+* IRIs / literals: ``hf.hashString(term.toN3(), UTF_8)`` → md5 of UTF-8 bytes
+* blank nodes start at ``hashString("", UTF_8)`` (the "blank hash",
+  HashGraph.java:47)
+* subject/object direction markers: ``hf.hashUnencodedChars("+" | "-")``
+  → md5 of UTF-16LE bytes (GraphColouring.java:471-475)
+* integer mux values: ``hf.hashInt(i)`` → md5 of the 4 little-endian bytes
+  (GraphColouring.java:125-127)
+
+Everything here is plain Python/numpy — no Spark imports — so the same
+kernels back both the local oracle canonicalizer and the vectorized
+pandas-UDF fold used by the distributed fixpoint.
+
+All mod-256 arithmetic matches Java's signed-byte overflow semantics
+(two's complement wraparound is identical mod 256).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Sequence
+
+import numpy as np
+
+HASH_BYTES = 16  # md5
+
+
+def md5_bytes(data: bytes) -> bytes:
+    return hashlib.md5(data).digest()
+
+
+def hash_string(s: str) -> bytes:
+    """Guava ``hashString(s, UTF_8)``: md5 over UTF-8 bytes."""
+    return md5_bytes(s.encode("utf-8"))
+
+
+def hash_unencoded_chars(s: str) -> bytes:
+    """Guava ``hashUnencodedChars(s)``: md5 over UTF-16LE code units."""
+    return md5_bytes(s.encode("utf-16-le"))
+
+
+def hash_int(i: int) -> bytes:
+    """Guava ``hashInt(i)``: md5 over the int's 4 little-endian bytes."""
+    return md5_bytes((i & 0xFFFFFFFF).to_bytes(4, "little"))
+
+
+# Initial colour of every blank node: hash of the empty string
+# (HashGraph.java:47,64-66).
+BLANK_HASH: bytes = hash_string("")
+# Direction markers for edge messages (GraphColouring.java:471-478).
+PLUS: bytes = hash_unencoded_chars("+")    # marks a subject-position bnode
+MINUS: bytes = hash_unencoded_chars("-")   # marks an object-position bnode
+
+
+def combine_ordered(hashes: Iterable[bytes]) -> bytes:
+    """Order-sensitive per-byte fold: r[i] = (r[i]*37) ^ h[i]."""
+    r = bytearray(HASH_BYTES)
+    seen = False
+    for h in hashes:
+        seen = True
+        for i in range(HASH_BYTES):
+            r[i] = ((r[i] * 37) ^ h[i]) & 0xFF
+    if not seen:
+        raise ValueError("combine_ordered needs at least one hash")
+    return bytes(r)
+
+
+def combine_unordered(hashes: Iterable[bytes]) -> bytes:
+    """Order-insensitive per-byte fold: r[i] = (r[i] + h[i]) mod 256."""
+    r = bytearray(HASH_BYTES)
+    seen = False
+    for h in hashes:
+        seen = True
+        for i in range(HASH_BYTES):
+            r[i] = (r[i] + h[i]) & 0xFF
+    if not seen:
+        raise ValueError("combine_unordered needs at least one hash")
+    return bytes(r)
+
+
+def to_hex(h: bytes) -> str:
+    """Guava ``HashCode.toString()``: lowercase hex, byte order preserved.
+
+    Sorting hashes by this hex string (GraphColouring.HashCodeComparator,
+    GraphColouring.java:751-758) is identical to sorting the raw byte
+    strings unsigned-lexicographically, i.e. plain ``bytes`` comparison.
+    """
+    return h.hex()
+
+
+# ---------------------------------------------------------------------------
+# Vectorized kernels (numpy) — used from Arrow-batched pandas UDFs.
+# ---------------------------------------------------------------------------
+
+def _as_matrix(hashes: Sequence[bytes]) -> np.ndarray:
+    """Stack N 16-byte hashes into an (N, 16) uint8 matrix."""
+    return np.frombuffer(b"".join(hashes), dtype=np.uint8).reshape(-1, HASH_BYTES)
+
+
+def combine_ordered_vec(cols: Sequence[np.ndarray]) -> np.ndarray:
+    """Row-wise combineOrdered across K aligned (N,16) uint8 matrices.
+
+    Row j of the result is combine_ordered(cols[0][j], ..., cols[K-1][j]).
+    Used for the per-edge message hash combineOrdered(h_other, h_pred,
+    marker) — one vectorized pass instead of a Python loop per row.
+    """
+    r = np.zeros_like(cols[0])
+    thirty_seven = np.uint8(37)
+    for m in cols:
+        r = (r * thirty_seven) ^ m  # uint8 arithmetic wraps mod 256
+    return r
+
+
+def fold_sorted_lists_ordered(lists: Sequence[Sequence[bytes]]) -> list[bytes]:
+    """combineOrdered-fold each (already sorted) list of 16-byte hashes.
+
+    Vectorized over rows: rows are LEFT-padded with zero hashes to the
+    batch max length — a zero prefix is a no-op because the accumulator
+    starts at zero and (0*37)^0 == 0 — then folded column-by-column with
+    uint8 wraparound.  This is the A1 aggregation kernel
+    (GraphColouring.java:542-548) used after Spark's ``sort_array``.
+    """
+    n = len(lists)
+    if n == 0:
+        return []
+    lens = np.fromiter((len(l) for l in lists), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        raise ValueError("empty hash list in fold")
+    mat = np.zeros((n, maxlen, HASH_BYTES), dtype=np.uint8)
+    for j, l in enumerate(lists):
+        if len(l):
+            block = np.frombuffer(b"".join(bytes(h) for h in l), dtype=np.uint8)
+            mat[j, maxlen - len(l):, :] = block.reshape(len(l), HASH_BYTES)
+    r = np.zeros((n, HASH_BYTES), dtype=np.uint8)
+    thirty_seven = np.uint8(37)
+    for k in range(maxlen):
+        r = (r * thirty_seven) ^ mat[:, k, :]
+    return [r[j].tobytes() for j in range(n)]
+
+
+def md5_of_utf8_vec(strings: Sequence[str]) -> list[bytes]:
+    """Batch md5(utf-8) — hashlib per row (C-speed), Arrow-batched upstream."""
+    return [hashlib.md5(s.encode("utf-8")).digest() for s in strings]
