@@ -1,0 +1,112 @@
+"""Distributed canonicalizer parity: DataFrame fixpoint vs local oracle.
+
+The local oracle (canon.local) is itself golden-tested against the
+reference's BlabelTest labels, so label-set equality here proves the
+distributed loop end-to-end: connected components, message join,
+sorted-fold aggregation, kernel fallback for automorphic components,
+dip/upg muxing, SK00 rendering.
+"""
+
+import random
+
+import pytest
+
+from blabel_spark.canon.local import label_graph
+from tests.test_local_canon import (
+    FIXTURES,
+    GOLD_BNODE_OUTPUT,
+    GOLD_INPUT,
+    shuffle_and_rename,
+)
+
+
+def run_distributed(spark, graphs: dict, **kw):
+    """graphs: name → triple list.  Returns {name: set of labelled triples}."""
+    from blabel_spark.canon.distributed import canonicalize
+    rows = [(g, s, p, o) for g, trips in graphs.items() for s, p, o in trips]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    res = canonicalize(spark, df, **kw)
+    out: dict[str, set] = {g: set() for g in graphs}
+    for r in res.labelled.collect():
+        out[r.graph_id].add((r.subj, r.pred, r.obj))
+    return out
+
+
+def random_graph(seed: int, n_bnodes: int = 8, n_ground: int = 4,
+                 n_edges: int = 14):
+    rng = random.Random(seed)
+    bnodes = [f"_:b{i}" for i in range(n_bnodes)]
+    iris = [f"<iri{i}>" for i in range(5)]
+    preds = [f"<p{i}>" for i in range(3)]
+    trips = []
+    for _ in range(n_edges):
+        s = rng.choice(bnodes + iris)
+        o = rng.choice(bnodes + iris + ['"lit1"', '"lit2"@en'])
+        if not (s.startswith("_:") or o.startswith("_:")):
+            s = rng.choice(bnodes)
+        trips.append((s, rng.choice(preds), o))
+    for i in range(n_ground):
+        trips.append((rng.choice(iris), rng.choice(preds), rng.choice(iris)))
+    return trips
+
+
+def test_golden_distributed(spark):
+    out = run_distributed(spark, {"g0": GOLD_INPUT})
+    assert out["g0"] == GOLD_BNODE_OUTPUT
+
+
+def test_fixtures_match_oracle(spark):
+    graphs = dict(FIXTURES)
+    out = run_distributed(spark, graphs)
+    for name, trips in graphs.items():
+        assert out[name] == set(label_graph(trips).graph), name
+
+
+def test_random_graphs_match_oracle(spark):
+    graphs = {f"r{s}": random_graph(s) for s in range(12)}
+    out = run_distributed(spark, graphs)
+    for name, trips in graphs.items():
+        assert out[name] == set(label_graph(trips).graph), name
+
+
+def test_metamorphic_distributed(spark):
+    """Renamed/shuffled variants of the same graph in one corpus must land
+    on identical canonical triple sets."""
+    graphs = {f"v{s}": shuffle_and_rename(FIXTURES["grid-3x3"], s)
+              for s in range(3)}
+    out = run_distributed(spark, graphs)
+    base = out["v0"]
+    assert all(out[g] == base for g in graphs)
+
+
+def test_dip_upg_flags_distributed(spark):
+    trips = [("_:a", "<p>", "_:b"), ("_:c", "<p>", "_:d")]
+    for dip in (True, False):
+        for upg in (True, False):
+            out = run_distributed(spark, {"g": trips}, dip=dip, upg=upg)
+            oracle = set(label_graph(trips, dip=dip, upg=upg).graph)
+            assert out["g"] == oracle, (dip, upg)
+
+
+def test_salted_aggregation_matches(spark):
+    """Hub-skew path: range-bucketed two-stage fold must be bit-identical."""
+    # star graph: one hub bnode with many spokes
+    hub = [("_:hub", "<p>", f"_:s{i}") for i in range(40)]
+    hub += [(f"<iri{i % 7}>", "<q>", "_:hub") for i in range(20)]
+    out_plain = run_distributed(spark, {"g": hub}, salt_buckets=0)
+    out_salt = run_distributed(spark, {"g": hub}, salt_buckets=4)
+    oracle = set(label_graph(hub).graph)
+    assert out_plain["g"] == oracle
+    assert out_salt["g"] == oracle
+
+
+def test_mixed_corpus_single_pass(spark):
+    """Whole fixture menu + randoms in ONE canonicalize() call — exercises
+    simultaneous multi-graph refinement with heterogeneous iteration
+    counts and kernel routing."""
+    graphs = dict(FIXTURES)
+    graphs.update({f"r{s}": random_graph(s, 6, 2, 10) for s in range(6)})
+    out = run_distributed(spark, graphs)
+    for name, trips in graphs.items():
+        assert out[name] == set(label_graph(trips).graph), name
