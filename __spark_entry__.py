@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline: derive an RDF triples view
+from the sf0.001 tables and canonically label every graph's blank nodes
+with the distributed colour-refinement engine (blabel semantics,
+golden-tested against the reference's BlabelTest labels).
+
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+analysis) with DuckDB oracles; see blabel_spark/queries.py.
 """
 
 from __future__ import annotations
@@ -15,24 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: triples view over sf0.001 → canonical blank-node labels."""
+    from blabel_spark.canon.distributed import canonicalize
+    from blabel_spark.ops.triples_view import build_triples
+
+    triples = build_triples(spark, "/root/testdata/sf0.001")
+    return canonicalize(spark, triples).labelled
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from blabel_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from blabel_spark.queries import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: headline canonicalization throughput + per-operator timings.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": secs, "unit": "sec",
+   "queries": {name: secs, ...}, "sf": ..., "triples_per_sec": ...}
+
+The headline number is the end-to-end wall time of the distributed
+canonical-labelling fixpoint over the derived triples view (~1M triples at
+sf0.1 across 200 graphs), i.e. the engine's core workload.  Every query is
+forced to full materialization with the noop sink so nothing is pruned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def force(df) -> int:
+    """Materialize every row/column (noop sink defeats count-only pruning)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+BENCH_QUERIES = [
+    "wl_refinement_round",
+    "connected_components",
+    "graph_dup_census",
+    "trivial_nonlean",
+    "pricing_summary",
+    "top_revenue_orders",
+    "customer_nation_rollup",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "token_stats",
+    "lang_id",
+    "knn_brute_force",
+    "lsh_bucket_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from blabel_spark.canon.distributed import canonicalize
+    from blabel_spark.ops.triples_view import build_triples
+    from blabel_spark.queries import QUERIES
+    from blabel_spark.spark_util import get_spark
+
+    spark = get_spark("blabel-bench", cpus=cpus)
+    timings: dict[str, float] = {}
+
+    # headline: full canonical labelling of the derived triples corpus
+    triples = build_triples(spark, sf_dir).localCheckpoint(True)
+    n_triples = triples.count()
+    t0 = time.time()
+    res = canonicalize(spark, triples)
+    force(res.labelled)
+    canon_secs = round(time.time() - t0, 3)
+    timings["canonicalize_full"] = canon_secs
+
+    # KG pipeline on synthetic transcripts (~100k turns at sf0.1 scale)
+    from blabel_spark.datagen import gazetteer, transcripts_df
+    from blabel_spark.extract.pipeline import extract_triples
+    n_convs = max(int(12500 * (sf / 0.1)), 100)
+    tdf, _ = transcripts_df(spark, seed=42, n_convs=n_convs)
+    tdf = tdf.localCheckpoint(True)
+    n_turns = tdf.count()
+    t0 = time.time()
+    kg_triples = extract_triples(spark, tdf, gazetteer()).localCheckpoint(True)
+    n_kg = kg_triples.count()
+    timings["extract_transcripts"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    kg = canonicalize(spark, kg_triples)
+    force(kg.labelled)
+    timings["canonicalize_transcript_kg"] = round(time.time() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "canonicalize_full_wall",
+        "value": canon_secs,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / canon_secs, 1),
+        "n_turns": n_turns,
+        "n_kg_triples": n_kg,
+        "kg_turns_per_sec": round(
+            n_turns / (timings["extract_transcripts"]
+                       + timings["canonicalize_transcript_kg"]), 1),
+        "canon_metrics": res.metrics,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

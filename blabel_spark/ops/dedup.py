@@ -1,0 +1,132 @@
+"""Deduplication operators for training-data pipelines (SURVEY brief).
+
+All operators are pure DataFrame/Catalyst expressions — no Python in the
+hot path — and are designed around shuffle-minimal plans:
+
+* exact dedup: one hash-groupBy (map-side partial aggregation);
+* MinHash: per-row signature computation is a codegen expression over
+  character shingles (no explode, no shuffle), then LSH banding turns the
+  quadratic all-pairs problem into an equi-join on band keys;
+* SimHash: per-token votes aggregated with one groupBy; 16-bit fingerprint
+  assembled from conditional sums;
+* n-gram Jaccard verifies LSH candidate pairs only (never all pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content hash (md5)."""
+    return (
+        docs.groupBy(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 4, k: int = 5,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signature over character k-shingles."""
+    text = F.col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    cols = []
+    for s in range(n_hashes):
+        # NB: the lambda must take exactly one arg — F.transform passes the
+        # array index to a second parameter, which would clobber a captured
+        # default.  transform() consumes the lambda eagerly, so closing over
+        # the loop variable via `seed` is safe.
+        seed = F.lit(f"s{s}|")
+        hashes = F.transform(
+            idx, lambda i: F.md5(F.concat(seed, text.substr(i, F.lit(k)))))
+        cols.append(F.array_min(hashes).alias(f"h{s}"))
+    return docs.select("doc_id", *cols)
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, k: int = 5,
+                        band_chars: int = 4) -> DataFrame:
+    """Near-dup candidates: docs sharing a banded MinHash prefix.  The
+    band join is an equi-join on (band_id, band_key) — at 100 TB this is
+    the only way near-dup detection scales (candidate pairs ≪ n²)."""
+    sig = minhash_signatures(docs, n_hashes, k)
+    bands = None
+    for s in range(n_hashes):
+        b = sig.select(
+            "doc_id",
+            F.lit(s).alias("band_id"),
+            F.substring(F.col(f"h{s}"), 1, band_chars).alias("band_key"))
+        bands = b if bands is None else bands.union(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5,
+                  text_col: str = "text") -> DataFrame:
+    """Jaccard similarity over distinct character k-shingles for the given
+    candidate pairs only."""
+    text = F.col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    shingles = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.transform(idx, lambda i: text.substr(i, F.lit(k)))))
+        .alias("sh"))
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh2"))
+    inter = (
+        pairs.join(sa, "doc_a").join(
+            sb, (F.col("doc_b") == sb.doc_b) & (F.col("sh") == F.col("sh2")))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left").na.fill({"n_inter": 0})
+        .join(ca, "doc_a").join(cb, "doc_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_inter")
+                            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over whitespace tokens.
+
+    Each token contributes ±1 votes on 16 bits taken nibble-wise from the
+    first 4 hex chars of md5(token); fingerprint bit j is 1 iff the vote
+    sum is positive.  One explode + one groupBy with 16 conditional sums —
+    shuffle keyed by doc_id only.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")) \
+        .where(F.length("tok") > 0) \
+        .withColumn("h", F.md5(F.col("tok")))
+    bit_cols = []
+    for j in range(16):
+        nib_i, r = divmod(j, 4)
+        nib = F.expr(
+            f"locate(substring(h, {nib_i + 1}, 1), '{HEX}') - 1")
+        bit = (nib.cast("int") / (2 ** (3 - r))).cast("int") % 2
+        bit_cols.append(F.sum(F.when(bit == 1, 1).otherwise(-1))
+                        .alias(f"v{j}"))
+    votes = toks.groupBy("doc_id").agg(*bit_cols)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"v{j}") > 0, 2 ** j).otherwise(0)
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("int").alias("simhash"))
