@@ -151,37 +151,55 @@ def _prepare_bnode_triples(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     return btri, ground
 
 
-def _iteration_messages(btri_active: DataFrame, lab: DataFrame) -> DataFrame:
-    """J1: one edge message per bnode endpoint.  Subject bnodes receive
-    combineOrdered(h(obj), h(pred), PLUS); object bnodes receive
-    combineOrdered(h(subj), h(pred), MINUS) (GraphColouring.java:505-534)."""
-    slab = lab.select(F.col("graph_id").alias("g"), F.col("bnode").alias("n"),
-                      F.col("color").alias("s_color"))
-    olab = lab.select(F.col("graph_id").alias("g"), F.col("bnode").alias("n"),
-                      F.col("color").alias("o_color"))
-    j = (
-        btri_active
-        .join(slab, on=[btri_active.graph_id == slab.g,
-                        btri_active.subj == slab.n], how="left")
-        .drop("g", "n")
-        .join(olab, on=[btri_active.graph_id == olab.g,
-                        btri_active.obj == olab.n], how="left")
-        .drop("g", "n")
-        .withColumn("s_h", F.coalesce("s_color", "s_static"))
-        .withColumn("o_h", F.coalesce("o_color", "o_static"))
-    )
+def _edge_views(btri: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the J1 message workload into its static and dynamic parts.
+
+    Each triple endpoint that is a bnode receives one message per round:
+    subject bnodes combineOrdered(h(obj), h(pred), PLUS), object bnodes
+    combineOrdered(h(subj), h(pred), MINUS) (GraphColouring.java:505-534).
+    Messages whose other end is ground (IRI/literal) are CONSTANT across
+    rounds — compute them once (static_msgs).  Only bnode→bnode edges
+    (bb_edges) need the per-round join against the colour table; in
+    star-shaped KG data these are a small fraction of all edges, so the
+    per-iteration shuffle shrinks accordingly.
+    """
     plus, minus = F.lit(PLUS), F.lit(MINUS)
-    subj_msgs = (
-        j.where(is_bnode_col("subj"))
-        .select("graph_id", "comp", F.col("subj").alias("bnode"),
-                combine3_udf(F.col("o_h"), F.col("pred_h"), plus).alias("msg"))
+    subj_e = btri.where(is_bnode_col("subj")).select(
+        "graph_id", "comp", F.col("subj").alias("bnode"),
+        F.col("obj").alias("other"), F.col("o_static").alias("other_static"),
+        "pred_h", plus.alias("marker"))
+    obj_e = btri.where(is_bnode_col("obj")).select(
+        "graph_id", "comp", F.col("obj").alias("bnode"),
+        F.col("subj").alias("other"), F.col("s_static").alias("other_static"),
+        "pred_h", minus.alias("marker"))
+    edges = subj_e.union(obj_e)
+    static_msgs = (
+        edges.where(F.col("other_static").isNotNull())
+        .select("graph_id", "comp", "bnode",
+                combine3_udf(F.col("other_static"), F.col("pred_h"),
+                             F.col("marker")).alias("msg"))
     )
-    obj_msgs = (
-        j.where(is_bnode_col("obj"))
-        .select("graph_id", "comp", F.col("obj").alias("bnode"),
-                combine3_udf(F.col("s_h"), F.col("pred_h"), minus).alias("msg"))
+    bb_edges = edges.where(F.col("other_static").isNull()) \
+                    .drop("other_static")
+    return static_msgs, bb_edges
+
+
+def _iteration_messages(static_msgs: DataFrame, bb_edges: DataFrame,
+                        lab: DataFrame) -> DataFrame:
+    """Per-round J1 messages: static part unioned with the dynamic part
+    (bnode→bnode edges joined against the previous round's colours)."""
+    other_lab = lab.select(F.col("graph_id").alias("g"),
+                           F.col("bnode").alias("n"),
+                           F.col("color").alias("other_color"))
+    dyn = (
+        bb_edges
+        .join(other_lab, on=[bb_edges.graph_id == other_lab.g,
+                             bb_edges.other == other_lab.n])
+        .select("graph_id", "comp", "bnode",
+                combine3_udf(F.col("other_color"), F.col("pred_h"),
+                             F.col("marker")).alias("msg"))
     )
-    return subj_msgs.union(obj_msgs)
+    return static_msgs.union(dyn)
 
 
 def _next_colors(msgs: DataFrame, lab: DataFrame,
@@ -260,12 +278,19 @@ def _kernel_colors(btri_kernel: DataFrame) -> DataFrame:
 def canonicalize(spark: SparkSession, triples: DataFrame, *,
                  dip: bool = True, upg: bool = True,
                  max_iterations: int = 64,
-                 salt_buckets: int = 0) -> CanonResult:
+                 salt_buckets: int = 0,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 5) -> CanonResult:
     """Canonically label blank nodes of every graph in ``triples``.
 
     Input schema: (graph_id, subj, pred, obj) strings in N3 convention.
     Semantics match canon.local.label_graph (itself golden-tested against
     the reference), including dip/upg muxing.
+
+    With ``checkpoint_dir`` set, the loop state is committed every
+    ``checkpoint_every`` iterations and a restarted run resumes from the
+    last commit (colours are pure functions of the previous round, so
+    replay is idempotent; see sources.io.FixpointCheckpoint).
     """
     metrics: dict = {}
     btri, ground = _prepare_bnode_triples(triples)
@@ -273,26 +298,47 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     metrics["bnode_triples"] = btri.count()
     metrics["ground_triples"] = ground.count()
 
-    # initial state: every bnode coloured with the blank hash
-    lab = (
-        btri.select("graph_id", "comp", F.col("subj").alias("bnode"))
-        .where(is_bnode_col("subj"))
-        .union(btri.select("graph_id", "comp", F.col("obj").alias("bnode"))
-               .where(is_bnode_col("obj")))
-        .distinct()
-        .withColumn("color", F.lit(BLANK_HASH))
-    ).localCheckpoint(True)
+    ckpt = None
+    restored = None
+    if checkpoint_dir:
+        from blabel_spark.sources.io import FixpointCheckpoint
+        ckpt = FixpointCheckpoint(spark, checkpoint_dir)
+        restored = ckpt.restore()
 
-    conv_prev = (lab.groupBy("graph_id", "comp")
-                 .agg(F.lit(1).alias("prev_nc"))).localCheckpoint(True)
+    static_msgs, bb_edges = _edge_views(btri)
+    static_msgs = static_msgs.localCheckpoint(True)
+    bb_edges = bb_edges.localCheckpoint(True)
 
-    resolved: list[DataFrame] = []
-    kernel_parts: list[DataFrame] = []
-    active_btri = btri
-    it = 0
+    if restored is not None:
+        it, lab, conv_prev, res_df, kern_df = restored
+        metrics["resumed_from_iteration"] = it
+        resolved = [res_df] if res_df is not None else []
+        kernel_parts = [kern_df] if kern_df is not None else []
+        active = conv_prev.select("graph_id", "comp").localCheckpoint(True)
+    else:
+        # initial state: every bnode coloured with the blank hash
+        lab = (
+            btri.select("graph_id", "comp", F.col("subj").alias("bnode"))
+            .where(is_bnode_col("subj"))
+            .union(btri.select("graph_id", "comp",
+                               F.col("obj").alias("bnode"))
+                   .where(is_bnode_col("obj")))
+            .distinct()
+            .withColumn("color", F.lit(BLANK_HASH))
+        ).localCheckpoint(True)
+
+        conv_prev = (lab.groupBy("graph_id", "comp")
+                     .agg(F.lit(1).alias("prev_nc"))).localCheckpoint(True)
+
+        resolved: list[DataFrame] = []
+        kernel_parts: list[DataFrame] = []
+        active = None  # None = every component is active
+        it = 0
     while True:
         it += 1
-        msgs = _iteration_messages(active_btri, lab)
+        sm = static_msgs if active is None else \
+            static_msgs.join(active, ["graph_id", "comp"], "left_semi")
+        msgs = _iteration_messages(sm, bb_edges, lab)
         new_lab = _next_colors(msgs, lab, salt_buckets).localCheckpoint(True)
 
         conv = (
@@ -318,8 +364,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                 new_lab.join(done_comps, ["graph_id", "comp"], "left_semi"))
         if counts.get("stalled"):
             kernel_parts.append(
-                active_btri.join(stall_comps, ["graph_id", "comp"],
-                                 "left_semi"))
+                btri.join(stall_comps, ["graph_id", "comp"], "left_semi"))
 
         n_active = counts.get("active", 0)
         if n_active == 0 or it >= max_iterations:
@@ -327,22 +372,28 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                 # over-budget components fall back to the kernel (the
                 # reference uses wall-clock timeouts per document,
                 # RunNQuadsTest.java:76)
-                kernel_parts.append(active_btri.join(
+                kernel_parts.append(btri.join(
                     conv.where(F.col("status") == "active")
                     .select("graph_id", "comp"),
                     ["graph_id", "comp"], "left_semi"))
                 metrics["over_budget_comps"] = n_active
             break
 
-        active_comps = conv.where(F.col("status") == "active") \
-                           .select("graph_id", "comp")
-        active_btri = btri.join(active_comps, ["graph_id", "comp"],
-                                "left_semi").localCheckpoint(True)
-        lab = new_lab.join(active_comps, ["graph_id", "comp"], "left_semi") \
+        active = conv.where(F.col("status") == "active") \
+                     .select("graph_id", "comp")
+        lab = new_lab.join(active, ["graph_id", "comp"], "left_semi") \
                      .localCheckpoint(True)
         conv_prev = conv.where(F.col("status") == "active") \
-            .select("graph_id", "comp", F.col("nc").alias("prev_nc")) \
-            .localCheckpoint(True)
+            .select("graph_id", "comp", F.col("nc").alias("prev_nc"))
+
+        if ckpt is not None and it % checkpoint_every == 0:
+            res_u = resolved[0] if resolved else None
+            for p in (resolved[1:] if resolved else []):
+                res_u = res_u.union(p)
+            ker_u = kernel_parts[0] if kernel_parts else None
+            for p in (kernel_parts[1:] if kernel_parts else []):
+                ker_u = ker_u.union(p)
+            ckpt.commit(it, lab, conv_prev, res_u, ker_u)
 
     metrics["colour_iterations"] = it
 
