@@ -292,11 +292,15 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     last commit (colours are pure functions of the previous round, so
     replay is idempotent; see sources.io.FixpointCheckpoint).
     """
+    import time as _time
+    _t0 = _time.time()
     metrics: dict = {}
     btri, ground = _prepare_bnode_triples(triples)
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()
     metrics["ground_triples"] = ground.count()
+    metrics["t_prep_s"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
 
     ckpt = None
     restored = None
@@ -396,6 +400,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
             ckpt.commit(it, lab, conv_prev, res_u, ker_u)
 
     metrics["colour_iterations"] = it
+    metrics["t_loop_s"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
 
     # leaf colours: distributed-discrete ∪ kernel output
     parts = list(resolved)
@@ -414,6 +420,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     for p in parts[1:]:
         leaf = leaf.union(p)
     leaf = leaf.localCheckpoint(True)
+    metrics["t_leaf_kernel_s"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
 
     # ---- per-component canonical hash + mux (GraphColouring.java:121-168,
     # GraphLabelling.java:100-119) ----------------------------------------
@@ -481,6 +489,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         .alias("label"),
         "color",
     ).localCheckpoint(True)
+    metrics["t_mux_s"] = round(_time.time() - _t0, 3)
 
     # ---- relabel the full graph (GraphColouring.labelBlankNodes) ----------
     tri = triples.select(*TRIPLE_COLS)

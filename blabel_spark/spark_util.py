@@ -20,7 +20,7 @@ import os
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import ArrayType, BinaryType, IntegerType
 
 HASH_BYTES = 16
 
@@ -78,15 +78,19 @@ def unordered_sum_agg(df: DataFrame, keys: list[str], bin_col: str,
     """groupBy(keys).combineUnordered(bin_col) as 16 JVM sum-mod-256 lanes.
 
     Implements Guava combineUnordered (per-byte sum) as a distributable,
-    partial-aggregatable ``sum`` — the map-side combine is free.  If
-    ``extra_init`` is given it is added into every group (the reference
-    seeds its running graph hash with the blank hash, HashGraph.java:166).
+    partial-aggregatable ``sum`` — the map-side combine is free.  The 16
+    byte lanes are extracted in ONE Arrow pass (lanes_udf) rather than 16
+    hex/conv expression chains per row.  If ``extra_init`` is given it is
+    added into every group (the reference seeds its running graph hash
+    with the blank hash, HashGraph.java:166).
     """
-    lanes = [F.sum(byte_lane(F.col(bin_col), i)) for i in range(HASH_BYTES)]
+    with_lanes = df.withColumn("_lanes", lanes_udf(F.col(bin_col)))
+    lanes = [F.sum(F.element_at(F.col("_lanes"), i + 1))
+             for i in range(HASH_BYTES)]
     if extra_init is not None:
         lanes = [l + int(extra_init[i]) for i, l in enumerate(lanes)]
     lanes = [(l % 256).cast("int") for l in lanes]
-    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+    agg = with_lanes.groupBy(*[F.col(k) for k in keys]).agg(
         *[l.alias(f"_lane{i}") for i, l in enumerate(lanes)])
     return agg.select(
         *keys,
@@ -126,6 +130,17 @@ def combine3_udf(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
     t37 = np.uint8(37)
     r = (((ma * t37) ^ mb) * t37) ^ mc
     return pd.Series([r[j].tobytes() for j in range(r.shape[0])])
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def lanes_udf(b: pd.Series) -> pd.Series:
+    """Split a 16-byte binary column into its 16 byte lanes (one Arrow
+    pass; feeds the JVM-side per-lane sum aggregation)."""
+    import numpy as np
+    if len(b) == 0:
+        return pd.Series([], dtype=object)
+    m = _stack(b).astype(np.int32)
+    return pd.Series(list(m))
 
 
 @F.pandas_udf(BinaryType())
