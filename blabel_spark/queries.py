@@ -327,6 +327,16 @@ SELECT graph_id, count(*) AS n_nonlean FROM dominated GROUP BY graph_id
 """
 
 
+def q_lean_graphs(spark, sf):
+    """§3.2 leaning (no SQL oracle — the endomorphism search is not
+    SQL-expressible): per-graph core sizes after leaning.  Verified in
+    pytest via witness-soundness/idempotence invariants instead."""
+    from blabel_spark.lean.distributed import lean_graphs
+    t = build_triples(spark, sf)
+    lean, wit = lean_graphs(spark, t)
+    return lean.groupBy("graph_id").agg(F.count("*").alias("n_lean"))
+
+
 def q_canonical_labels(spark, sf):
     """Flagship (no SQL oracle — the full fixpoint is not SQL-expressible):
     canonical labelling of every derived graph; returns per-graph label
@@ -731,6 +741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_sort": q_canonical_sort,               # O1+U1
     "trivial_nonlean": q_trivial_nonlean,             # J5 skeleton
     "canonical_labels": q_canonical_labels,           # full engine (no SQL)
+    "lean_graphs": q_lean_graphs,                     # §3.2 leaning (no SQL)
     # relational parity
     "pricing_summary": q_pricing_summary,             # A10
     "customer_nation_rollup": q_customer_nation_rollup,  # J3 + broadcast

@@ -1,0 +1,131 @@
+"""Leaning tests: known cores, witness soundness, idempotence, metamorphic
+canonical-form stability, distributed == local parity."""
+
+import pytest
+
+from blabel_spark.canon.local import is_bnode, label_graph
+from blabel_spark.lean.local import lean_graph
+from tests.test_local_canon import shuffle_and_rename
+
+
+def apply_map(triples, m):
+    return {(m.get(s, s), p, m.get(o, o)) for s, p, o in triples}
+
+
+# -- known cores --------------------------------------------------------------
+
+def test_trivial_nonlean_bnode():
+    g = [("_:a", "<p>", "<u>"), ("<v>", "<p>", "<u>")]
+    res = lean_graph(g)
+    assert res.lean == (("<v>", "<p>", "<u>"),)
+    assert res.core_map == {"_:a": "<v>"}
+
+
+def test_iso_pair_collapses():
+    g = [("_:a", "<p>", "_:b"), ("_:c", "<p>", "_:d")]
+    res = lean_graph(g)
+    assert len(res.lean) == 1
+    assert set(res.core_map) == {"_:a", "_:b", "_:c", "_:d"}
+
+
+def test_edge_folds_into_chain():
+    g = [("_:a", "<p>", "_:b"),
+         ("_:x", "<p>", "_:y"), ("_:y", "<p>", "_:z")]
+    res = lean_graph(g)
+    assert res.lean == (("_:x", "<p>", "_:y"), ("_:y", "<p>", "_:z"))
+
+
+def test_two_chain_is_lean():
+    g = [("_:x", "<p>", "_:y"), ("_:y", "<p>", "_:z")]
+    assert lean_graph(g).lean == tuple(sorted(g))
+
+
+def test_cycle_is_lean():
+    g = [("_:a", "<p>", "_:b"), ("_:b", "<p>", "_:c"), ("_:c", "<p>", "_:a")]
+    assert lean_graph(g).lean == tuple(sorted(g))
+
+
+def test_cycle_with_redundant_tail():
+    # tail _:t -> _:a duplicates the in-edge _:c -> _:a of the cycle
+    g = [("_:a", "<p>", "_:b"), ("_:b", "<p>", "_:c"), ("_:c", "<p>", "_:a"),
+         ("_:t", "<p>", "_:a")]
+    res = lean_graph(g)
+    assert res.lean == tuple(sorted(g[:3]))
+    assert res.core_map["_:t"] == "_:c"
+
+
+def test_ground_only_graph():
+    g = [("<a>", "<p>", "<b>")]
+    res = lean_graph(g)
+    assert res.lean == tuple(g)
+    assert res.core_map == {}
+
+
+# -- invariants ---------------------------------------------------------------
+
+CASES = {
+    "trivial": [("_:a", "<p>", "<u>"), ("<v>", "<p>", "<u>")],
+    "iso-pair": [("_:a", "<p>", "_:b"), ("_:c", "<p>", "_:d")],
+    "fold": [("_:a", "<p>", "_:b"),
+             ("_:x", "<p>", "_:y"), ("_:y", "<p>", "_:z")],
+    "cycle+tail": [("_:a", "<p>", "_:b"), ("_:b", "<p>", "_:c"),
+                   ("_:c", "<p>", "_:a"), ("_:t", "<p>", "_:a")],
+    "star": [("_:h", "<p>", f"<o{i}>") for i in range(4)]
+            + [("_:h2", "<p>", "<o0>"), ("_:h2", "<p>", "<o1>")],
+    "mixed": [("_:m", "<p>", '"lit"'), ("<s>", "<p>", "_:m"),
+              ("_:n", "<p>", '"lit"')],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_witness_soundness(name):
+    """coreMap covers every input bnode and mapData(input, coreMap) equals
+    the lean output (TestFramework.testMapping, TestFramework.java:294-306)."""
+    g = CASES[name]
+    res = lean_graph(g)
+    in_bnodes = {t for tr in g for t in (tr[0], tr[2]) if is_bnode(t)}
+    assert set(res.core_map) == in_bnodes
+    assert apply_map(g, res.core_map) == set(res.lean)
+    # lean output is a subgraph of the input
+    assert set(res.lean) <= set(g)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_idempotence(name):
+    """Re-leaning the lean output changes nothing (TestFramework.java:287-289)."""
+    once = lean_graph(CASES[name])
+    twice = lean_graph(list(once.lean))
+    assert twice.lean == once.lean
+    assert twice.removed == 0
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_metamorphic_lean_then_label(name):
+    """Canonical form of the lean graph is invariant under bnode renaming
+    and shuffling — the reference's cross-config equality check
+    (TestFramework.java:151-155,235-241)."""
+    base = label_graph(list(lean_graph(CASES[name]).lean)).graph
+    for seed in range(3):
+        v = shuffle_and_rename(CASES[name], seed)
+        assert label_graph(list(lean_graph(v).lean)).graph == base, seed
+
+
+# -- distributed parity -------------------------------------------------------
+
+def test_distributed_lean_matches_local(spark):
+    from blabel_spark.lean.distributed import lean_graphs
+    graphs = dict(CASES)
+    rows = [(g, s, p, o) for g, trips in graphs.items() for s, p, o in trips]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    lean, witness = lean_graphs(spark, df)
+    got = {}
+    for r in lean.collect():
+        got.setdefault(r.graph_id, set()).add((r.subj, r.pred, r.obj))
+    wit = {}
+    for r in witness.collect():
+        wit.setdefault(r.graph_id, {})[r.bnode] = r.target
+    for name, trips in graphs.items():
+        res = lean_graph(trips)
+        assert got.get(name, set()) == set(res.lean), name
+        assert wit.get(name, {}) == res.core_map, name
