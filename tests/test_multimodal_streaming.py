@@ -1,0 +1,73 @@
+"""Multimodal plumbing + incremental streaming ingest tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_multimodal_decode_features(spark):
+    from blabel_spark.ops.multimodal import decode_features, synth_media
+    media = synth_media(spark, n=30)
+    feats = decode_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 30
+    for r in rows.values():
+        assert r.n_samples > 0
+        assert len(r.hist) == 8
+        assert sum(r.hist) == r.n_samples
+    # deterministic: rerun produces identical values
+    again = {r.media_id: r for r in decode_features(media).collect()}
+    assert all(rows[i].mean == again[i].mean and rows[i].hist == again[i].hist
+               for i in rows)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from blabel_spark.ops.multimodal import decode_features, synth_media
+    with pytest.raises(NotImplementedError):
+        decode_features(synth_media(spark, 3), decode="real")
+
+
+def test_multimodal_resize_and_frames(spark):
+    from blabel_spark.ops.multimodal import (
+        resize_images, sample_frames, synth_media)
+    media = synth_media(spark, n=30)
+    resized = resize_images(media, 4, 4).collect()
+    assert all(len(r.pixels) == 16 for r in resized)
+    assert len(resized) == media.where("kind='image'").count()
+    frames = sample_frames(media, every_ms=500)
+    per_vid = {r["media_id"]: r["n"] for r in
+               frames.groupBy("media_id").agg(F.count("*").alias("n"))
+               .collect()}
+    vids = {r.media_id: r.duration_ms for r in
+            media.where("kind='video'").collect()}
+    assert set(per_vid) == set(vids)
+    for mid, dur in vids.items():
+        assert per_vid[mid] == max(dur // 500, 1)
+
+
+def test_incremental_streaming_ingest(spark, tmp_path):
+    """Two file drops drained by two AvailableNow runs accumulate exactly
+    the batch-mode extraction of the union (exactly-once per file)."""
+    from blabel_spark.datagen import gazetteer, transcripts_df
+    from blabel_spark.extract.pipeline import extract_triples
+    from blabel_spark.streaming.ingest import incremental_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    t1, _ = transcripts_df(spark, seed=1, n_convs=10)
+    t2, _ = transcripts_df(spark, seed=2, n_convs=10)
+    t1.write.mode("append").parquet(in_dir)
+    incremental_extract(spark, in_dir, out_dir, ck, gazetteer())
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+
+    t2.write.mode("append").parquet(in_dir)
+    incremental_extract(spark, in_dir, out_dir, ck, gazetteer())
+    got = spark.read.parquet(out_dir)
+
+    expect = extract_triples(spark, t1.union(t2), gazetteer(),
+                             with_provenance=True) \
+        .select("graph_id", "subj", "pred", "obj")
+    assert sorted(map(tuple, got.select("graph_id", "subj", "pred", "obj")
+                      .collect())) == sorted(map(tuple, expect.collect()))
