@@ -4,29 +4,31 @@ Re-expresses the reference's per-graph algorithm (GraphColouring.runColouring,
 GraphColouring.java:463-666 + GraphLabelling.call, GraphLabelling.java:61-192)
 as ONE iterative join→groupBy loop over the whole corpus at once:
 
-* state is a single ``(graph_id, comp, bnode, color)`` table — one Spark job
-  per iteration, all graphs/components refine simultaneously;
-* components that reach a fixpoint leave the loop (their colours freeze),
-  so late iterations touch only the shrinking active residue;
+* state is a single ``(graph_id, comp, bnode, h0, h1)`` table — one Spark
+  job per iteration, all graphs/components refine simultaneously;
+* every 16-byte colour travels as TWO sign-flipped int64 columns (see
+  hashing.py / pair_kernels.py): primitive types end-to-end, numpy kernels
+  zero-copy, and signed ordering == the algorithm's hex ordering;
+* messages whose other end is ground are constant across rounds and are
+  computed once; only bnode→bnode edges join the colour table per round;
+* the A1 neighbourhood fold is repartition + sortWithinPartitions + one
+  mapInPandas segmented-numpy fold (the previous colour is unioned in as a
+  message row and sorts into place);
+* components that reach a fixpoint leave the loop (their colours freeze);
 * components whose fixpoint does not discriminate every bnode (automorphic
-  residue — regular subgraphs) are finished by the branch-and-bound kernel
-  from ``canon.local`` inside one ``applyInPandas`` call per component —
-  branching search is inherently sequential and stays component-local;
-* all order-insensitive hash folds (whole-graph hash, upg graph hash) are
-  per-byte sums mod 256 and run as plain JVM ``sum`` aggregations with
-  map-side partial aggregation (see spark_util.unordered_sum_agg);
-* the order-sensitive folds run as Arrow-batched vectorized pandas UDFs;
-* optional message-salting splits a hub bnode's neighbour aggregation into
-  range-partitioned buckets whose sorted sub-lists concatenate back into
-  the globally sorted list (combineOrdered needs the global sort order,
-  GraphColouring.java:542-548) — two small shuffles instead of one skewed.
+  residue) are finished by the branch-and-bound kernel from ``canon.local``
+  inside one ``applyInPandas`` call per component;
+* order-insensitive hash folds (whole-graph hash, upg graph hash) are
+  per-byte sums mod 256: numpy partial sums per Arrow batch, JVM merge;
+* optional ``salt_buckets`` switches the fold to a range-bucketed
+  collect_list variant that splits a hub bnode's aggregation across
+  buckets (salted repartitioning for skewed hub entities).
 
-Scale notes (100 TB / 1000 executors): the loop state and message tables
+Scale notes (100 TB / 1000 executors): loop state and message tables
 shuffle on (graph_id, comp, bnode) — high-cardinality, uniform keys; AQE
 handles stragglers; per-iteration ``localCheckpoint`` truncates lineage so
-plans stay constant-size; transcripts corpora are embarrassingly parallel
-over graphs, so iteration count is driven by the *largest* component
-diameter, not corpus size.
+plans stay constant-size; iteration count is driven by the largest
+component diameter, not corpus size.
 """
 
 from __future__ import annotations
@@ -36,15 +38,17 @@ from dataclasses import dataclass, field
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType
 
-from blabel_spark.hashing import BLANK_HASH, MINUS, PLUS, hash_int
-from blabel_spark.spark_util import (
-    combine2_udf,
-    combine3_udf,
-    fold_ordered_udf,
-    md5_binary,
-    unordered_sum_agg,
+from blabel_spark.hashing import BLANK_PAIR, MINUS_PAIR, MIN_LONG, PLUS_PAIR
+from blabel_spark.pair_kernels import (
+    combine2_pairs_udf,
+    combine3_pairs_udf,
+    fold_messages,
+    fold_pair_array_udf,
+    hash_int_pair_udf,
+    md5_pair,
+    pair_hex,
+    unordered_sum_pairs,
 )
 
 TRIPLE_COLS = ("graph_id", "subj", "pred", "obj")
@@ -54,18 +58,10 @@ def is_bnode_col(c):
     return F.col(c).startswith("_:")
 
 
-@F.pandas_udf(BinaryType())
-def hash_int_udf(i: pd.Series) -> pd.Series:
-    """Guava hashInt as a column (md5 of 4 little-endian bytes)."""
-    import hashlib
-    return i.map(lambda v: hashlib.md5(
-        (int(v) & 0xFFFFFFFF).to_bytes(4, "little")).digest())
-
-
 @dataclass
 class CanonResult:
     labelled: DataFrame         # (graph_id, subj, pred, obj) canonical
-    labels: DataFrame           # (graph_id, bnode, label, color)
+    labels: DataFrame           # (graph_id, bnode, label)
     metrics: dict = field(default_factory=dict)
 
 
@@ -90,7 +86,6 @@ def bnode_components(btri: DataFrame, max_iter: int = 50) -> DataFrame:
         .select("graph_id", F.col("subj").alias("a"), F.col("obj").alias("b"))
         .distinct()
     )
-    # undirected
     sym = edges.union(edges.select("graph_id", F.col("b").alias("a"),
                                    F.col("a").alias("b")))
     sym = sym.localCheckpoint(True)
@@ -124,11 +119,11 @@ def bnode_components(btri: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# the fixpoint
+# preparation
 # ---------------------------------------------------------------------------
 
 def _prepare_bnode_triples(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split into (bnode-touching triples with comp + static hash columns,
+    """Split into (bnode-touching triples with comp + static pair columns,
     ground triples)."""
     tri = triples.select(*TRIPLE_COLS)
     has_b = is_bnode_col("subj") | is_bnode_col("obj")
@@ -137,88 +132,93 @@ def _prepare_bnode_triples(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     comp = bnode_components(btri)
     anchor = F.when(is_bnode_col("subj"), F.col("subj")).otherwise(F.col("obj"))
+    p0, p1 = md5_pair(F.col("pred"))
+    s0, s1 = md5_pair(F.col("subj"))
+    o0, o1 = md5_pair(F.col("obj"))
     btri = (
         btri.withColumn("_anchor", anchor)
         .join(comp.withColumnRenamed("bnode", "_anchor"),
               ["graph_id", "_anchor"])
         .drop("_anchor")
-        .withColumn("pred_h", md5_binary(F.col("pred")))
-        .withColumn("s_static", F.when(~is_bnode_col("subj"),
-                                       md5_binary(F.col("subj"))))
-        .withColumn("o_static", F.when(~is_bnode_col("obj"),
-                                       md5_binary(F.col("obj"))))
+        .withColumn("p0", p0).withColumn("p1", p1)
+        .withColumn("ss0", F.when(~is_bnode_col("subj"), s0))
+        .withColumn("ss1", F.when(~is_bnode_col("subj"), s1))
+        .withColumn("os0", F.when(~is_bnode_col("obj"), o0))
+        .withColumn("os1", F.when(~is_bnode_col("obj"), o1))
     )
     return btri, ground
 
 
 def _edge_views(btri: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split the J1 message workload into its static and dynamic parts.
+    """Split the J1 message workload into static and dynamic parts.
 
-    Each triple endpoint that is a bnode receives one message per round:
-    subject bnodes combineOrdered(h(obj), h(pred), PLUS), object bnodes
-    combineOrdered(h(subj), h(pred), MINUS) (GraphColouring.java:505-534).
-    Messages whose other end is ground (IRI/literal) are CONSTANT across
-    rounds — compute them once (static_msgs).  Only bnode→bnode edges
-    (bb_edges) need the per-round join against the colour table; in
-    star-shaped KG data these are a small fraction of all edges, so the
-    per-iteration shuffle shrinks accordingly.
+    Subject bnodes receive combineOrdered(h(obj), h(pred), PLUS); object
+    bnodes combineOrdered(h(subj), h(pred), MINUS) (GraphColouring.java:
+    505-534).  Ground-other-end messages are constant across rounds —
+    computed once here; bnode→bnode edges carry their pred/marker pairs
+    and join the colour table each round.
     """
-    plus, minus = F.lit(PLUS), F.lit(MINUS)
-    subj_e = btri.where(is_bnode_col("subj")).select(
-        "graph_id", "comp", F.col("subj").alias("bnode"),
-        F.col("obj").alias("other"), F.col("o_static").alias("other_static"),
-        "pred_h", plus.alias("marker"))
-    obj_e = btri.where(is_bnode_col("obj")).select(
-        "graph_id", "comp", F.col("obj").alias("bnode"),
-        F.col("subj").alias("other"), F.col("s_static").alias("other_static"),
-        "pred_h", minus.alias("marker"))
-    edges = subj_e.union(obj_e)
-    static_msgs = (
-        edges.where(F.col("other_static").isNotNull())
-        .select("graph_id", "comp", "bnode",
-                combine3_udf(F.col("other_static"), F.col("pred_h"),
-                             F.col("marker")).alias("msg"))
-    )
-    bb_edges = edges.where(F.col("other_static").isNull()) \
-                    .drop("other_static")
+    def side(bcol, ocol, os0, os1, mk):
+        return btri.where(is_bnode_col(bcol)).select(
+            "graph_id", "comp", F.col(bcol).alias("bnode"),
+            F.col(ocol).alias("other"),
+            F.col(os0).alias("ot0"), F.col(os1).alias("ot1"),
+            "p0", "p1",
+            F.lit(mk[0]).alias("mk0"), F.lit(mk[1]).alias("mk1"))
+
+    edges = side("subj", "obj", "os0", "os1", PLUS_PAIR) \
+        .union(side("obj", "subj", "ss0", "ss1", MINUS_PAIR))
+    static = edges.where(F.col("ot0").isNotNull())
+    m = combine3_pairs_udf("ot0", "ot1", "p0", "p1", "mk0", "mk1")
+    static_msgs = static.select(
+        "graph_id", "comp", "bnode",
+        m.getField("h0").alias("m0"), m.getField("h1").alias("m1"))
+    bb_edges = edges.where(F.col("ot0").isNull()) \
+                    .drop("ot0", "ot1")
     return static_msgs, bb_edges
 
 
 def _iteration_messages(static_msgs: DataFrame, bb_edges: DataFrame,
                         lab: DataFrame) -> DataFrame:
-    """Per-round J1 messages: static part unioned with the dynamic part
-    (bnode→bnode edges joined against the previous round's colours)."""
     other_lab = lab.select(F.col("graph_id").alias("g"),
                            F.col("bnode").alias("n"),
-                           F.col("color").alias("other_color"))
+                           F.col("h0").alias("oc0"), F.col("h1").alias("oc1"))
+    m = combine3_pairs_udf("oc0", "oc1", "p0", "p1", "mk0", "mk1")
     dyn = (
         bb_edges
         .join(other_lab, on=[bb_edges.graph_id == other_lab.g,
                              bb_edges.other == other_lab.n])
         .select("graph_id", "comp", "bnode",
-                combine3_udf(F.col("other_color"), F.col("pred_h"),
-                             F.col("marker")).alias("msg"))
+                m.getField("h0").alias("m0"), m.getField("h1").alias("m1"))
     )
     return static_msgs.union(dyn)
 
 
 def _next_colors(msgs: DataFrame, lab: DataFrame,
                  salt_buckets: int = 0) -> DataFrame:
-    """A1: per-bnode aggregation — sort(messages + own previous colour),
-    combineOrdered-fold (GraphColouring.java:542-548).
+    """A1: sort(messages + own previous colour), combineOrdered-fold
+    (GraphColouring.java:542-548).  Previous colours are unioned in as
+    message rows and sort into place.
 
-    With salting, messages are range-bucketed by their leading byte so each
-    bucket's sorted sub-list concatenates (in bucket order) into the global
-    sorted list; the skewed single-key aggregation becomes two balanced ones.
+    Default path: repartition+sort + segmented numpy fold (fold_messages).
+    Salted path: range-bucket messages by their leading byte so a hub
+    bnode's collect happens in ``salt_buckets`` balanced groups whose
+    bucket-ordered arrays are re-sorted once per bnode and folded.
     """
     key = ["graph_id", "comp", "bnode"]
+    prev_rows = lab.select(*key, F.col("h0").alias("m0"),
+                           F.col("h1").alias("m1"))
+    all_msgs = msgs.union(prev_rows)
     if salt_buckets and salt_buckets > 1:
-        bucket = (F.conv(F.hex(F.substring(F.col("msg"), 1, 1)), 16, 10)
-                  .cast("int") * salt_buckets / 256).cast("int")
+        bucket = (F.shiftrightunsigned(
+            F.col("m0").bitwiseXOR(F.lit(MIN_LONG)), 56)
+            * salt_buckets / 256).cast("int")
         per_bucket = (
-            msgs.withColumn("bucket", bucket)
+            all_msgs.withColumn("bucket", bucket)
             .groupBy(*key, "bucket")
-            .agg(F.sort_array(F.collect_list("msg")).alias("arr"))
+            .agg(F.sort_array(F.collect_list(
+                F.struct(F.col("m0").alias("h0"), F.col("m1").alias("h1"))))
+                .alias("arr"))
         )
         merged = (
             per_bucket.groupBy(*key)
@@ -226,29 +226,25 @@ def _next_colors(msgs: DataFrame, lab: DataFrame,
                 F.array_sort(F.collect_list(F.struct("bucket", "arr"))),
                 lambda x: x["arr"])).alias("msgs"))
         )
-    else:
-        merged = msgs.groupBy(*key).agg(F.collect_list("msg").alias("msgs"))
-
-    prev = lab.select(*key, F.col("color").alias("prev"))
-    return (
-        merged.join(prev, key)
-        .withColumn("sorted", F.array_sort(
-            F.concat(F.col("msgs"), F.array(F.col("prev")))))
-        .select(*key, fold_ordered_udf(F.col("sorted")).alias("color"))
-    )
+        folded = merged.select(
+            *key, fold_pair_array_udf(F.col("msgs")).alias("c"))
+        return folded.select(*key, F.col("c.h0").alias("h0"),
+                             F.col("c.h1").alias("h1"))
+    return fold_messages(all_msgs)
 
 
 def _kernel_colors(btri_kernel: DataFrame) -> DataFrame:
-    """Finish automorphic components with the local branch-and-bound kernel,
-    one applyInPandas group per (graph_id, comp).  Returns the chosen
-    canonical leaf's colours (pre-mux), mirroring GraphColouring.traverse +
-    minimum-leaf selection (GraphColouring.java:137-141,180-253)."""
-    schema = "graph_id string, comp string, bnode string, color binary"
+    """Finish automorphic components with the local branch-and-bound kernel
+    (GraphColouring.traverse + minimum-leaf selection, GraphColouring.java:
+    137-141,180-253), one applyInPandas group per (graph_id, comp)."""
+    schema = ("graph_id string, comp string, bnode string, "
+              "h0 long, h1 long")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         from blabel_spark.canon.local import (
             _Colouring, graph_sort_key, is_bnode)
-        from blabel_spark.hashing import BLANK_HASH as BH, hash_string
+        from blabel_spark.hashing import BLANK_HASH as BH
+        from blabel_spark.hashing import enc_pair, hash_string
         graph_id = pdf["graph_id"].iloc[0]
         comp = pdf["comp"].iloc[0]
         triples = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
@@ -265,15 +261,21 @@ def _kernel_colors(btri_kernel: DataFrame) -> DataFrame:
         col.execute()
         best = min(col.leaves, key=graph_sort_key)
         leaf = col.leaves[best][0]
+        pairs = [enc_pair(c) for c in leaf.colors.values()]
         return pd.DataFrame({
             "graph_id": graph_id, "comp": comp,
             "bnode": list(leaf.colors.keys()),
-            "color": list(leaf.colors.values()),
+            "h0": [p[0] for p in pairs],
+            "h1": [p[1] for p in pairs],
         })
 
     return (btri_kernel.select("graph_id", "comp", "subj", "pred", "obj")
             .groupBy("graph_id", "comp").applyInPandas(run, schema))
 
+
+# ---------------------------------------------------------------------------
+# the driver loop
+# ---------------------------------------------------------------------------
 
 def canonicalize(spark: SparkSession, triples: DataFrame, *,
                  dip: bool = True, upg: bool = True,
@@ -298,7 +300,6 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     btri, ground = _prepare_bnode_triples(triples)
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()
-    metrics["ground_triples"] = ground.count()
     metrics["t_prep_s"] = round(_time.time() - _t0, 3)
     _t0 = _time.time()
 
@@ -320,7 +321,6 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         kernel_parts = [kern_df] if kern_df is not None else []
         active = conv_prev.select("graph_id", "comp").localCheckpoint(True)
     else:
-        # initial state: every bnode coloured with the blank hash
         lab = (
             btri.select("graph_id", "comp", F.col("subj").alias("bnode"))
             .where(is_bnode_col("subj"))
@@ -328,11 +328,12 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                                F.col("obj").alias("bnode"))
                    .where(is_bnode_col("obj")))
             .distinct()
-            .withColumn("color", F.lit(BLANK_HASH))
+            .withColumn("h0", F.lit(BLANK_PAIR[0]))
+            .withColumn("h1", F.lit(BLANK_PAIR[1]))
         ).localCheckpoint(True)
 
         conv_prev = (lab.groupBy("graph_id", "comp")
-                     .agg(F.lit(1).alias("prev_nc"))).localCheckpoint(True)
+                     .agg(F.lit(1).alias("prev_nc")))
 
         resolved: list[DataFrame] = []
         kernel_parts: list[DataFrame] = []
@@ -347,7 +348,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
 
         conv = (
             new_lab.groupBy("graph_id", "comp")
-            .agg(F.countDistinct("color").alias("nc"),
+            .agg(F.countDistinct("h0", "h1").alias("nc"),
                  F.count("*").alias("nb"))
             .join(conv_prev, ["graph_id", "comp"])
             .withColumn("status",
@@ -411,9 +412,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
             kb = kb.union(p)
         parts.append(_kernel_colors(kb))
     if not parts:
-        # no blank nodes anywhere: pass everything through
         empty = spark.createDataFrame(
-            [], "graph_id string, bnode string, label string, color binary")
+            [], "graph_id string, bnode string, label string")
         return CanonResult(triples.select(*TRIPLE_COLS).dropDuplicates(),
                            empty, metrics)
     leaf = parts[0]
@@ -426,28 +426,29 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # ---- per-component canonical hash + mux (GraphColouring.java:121-168,
     # GraphLabelling.java:100-119) ----------------------------------------
     slab = leaf.select(F.col("graph_id").alias("g"), F.col("bnode").alias("n"),
-                       F.col("color").alias("s_color"))
+                       F.col("h0").alias("sc0"), F.col("h1").alias("sc1"))
     olab = leaf.select(F.col("graph_id").alias("g"), F.col("bnode").alias("n"),
-                       F.col("color").alias("o_color"))
+                       F.col("h0").alias("oc0"), F.col("h1").alias("oc1"))
+    tm = combine3_pairs_udf(
+        F.coalesce("sc0", "ss0"), F.coalesce("sc1", "ss1"),
+        F.col("p0"), F.col("p1"),
+        F.coalesce("oc0", "os0"), F.coalesce("oc1", "os1"))
     th = (
         btri
-        .join(slab, on=[btri.graph_id == slab.g, btri.subj == slab.n], how="left")
-        .drop("g", "n")
-        .join(olab, on=[btri.graph_id == olab.g, btri.obj == olab.n], how="left")
-        .drop("g", "n")
+        .join(slab, on=[btri.graph_id == slab.g, btri.subj == slab.n],
+              how="left").drop("g", "n")
+        .join(olab, on=[btri.graph_id == olab.g, btri.obj == olab.n],
+              how="left").drop("g", "n")
         .select("graph_id", "comp",
-                combine3_udf(F.coalesce("s_color", "s_static"),
-                             F.col("pred_h"),
-                             F.coalesce("o_color", "o_static")).alias("th"),
-                )
+                tm.getField("h0").alias("t0"), tm.getField("h1").alias("t1"))
     )
-    ghc = unordered_sum_agg(th, ["graph_id", "comp"], "th", "ghc",
-                            extra_init=BLANK_HASH)
+    ghc = unordered_sum_pairs(th, ["graph_id", "comp"], "t0", "t1",
+                              "g0", "g1", extra_init=BLANK_PAIR)
 
     sizes = (btri.groupBy("graph_id", "comp").agg(F.count("*").alias("nt"))
              .join(leaf.groupBy("graph_id", "comp")
                    .agg(F.count("*").alias("nb")), ["graph_id", "comp"]))
-    dup_w = Window.partitionBy("graph_id", F.hex(F.col("ghc")), "nt", "nb") \
+    dup_w = Window.partitionBy("graph_id", "g0", "g1", "nt", "nb") \
                   .orderBy("comp")
     comp_mux = (
         ghc.join(sizes, ["graph_id", "comp"])
@@ -459,35 +460,47 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                     .otherwise(F.col("rank")) if dip else F.lit(0))
         .withColumn("contributes",
                     F.lit(True) if dip else (F.col("rank") == 1))
-        .withColumn("comb", combine2_udf(F.col("ghc"),
-                                         hash_int_udf(F.col("mux_i"))))
-        .select("graph_id", "comp", "comb", "contributes")
+        .withColumn("mx", hash_int_pair_udf(F.col("mux_i")))
+        .withColumn("cb", combine2_pairs_udf("g0", "g1", "mx.h0", "mx.h1"))
+        .select("graph_id", "comp", F.col("cb.h0").alias("cb0"),
+                F.col("cb.h1").alias("cb1"), "contributes")
     ).localCheckpoint(True)
 
     colored = (
         leaf.join(comp_mux, ["graph_id", "comp"])
-        .withColumn("color", combine2_udf(F.col("color"), F.col("comb")))
+        .withColumn("cc", combine2_pairs_udf("h0", "h1", "cb0", "cb1"))
+        .select("graph_id", "bnode",
+                F.col("cc.h0").alias("h0"), F.col("cc.h1").alias("h1"))
     )
 
     # ---- upg: graph-level unique hash (GraphLabelling.java:137-150) -------
     if upg:
-        ground_th = ground.select(
-            "graph_id",
-            combine3_udf(md5_binary(F.col("subj")), md5_binary(F.col("pred")),
-                         md5_binary(F.col("obj"))).alias("h"))
-        comb_h = comp_mux.where("contributes").select("graph_id", F.col("comb").alias("h"))
-        ghash = unordered_sum_agg(ground_th.union(comb_h), ["graph_id"],
-                                  "h", "ghash", extra_init=BLANK_HASH)
+        gs0, gs1 = md5_pair(F.col("subj"))
+        gp0, gp1 = md5_pair(F.col("pred"))
+        go0, go1 = md5_pair(F.col("obj"))
+        gm = combine3_pairs_udf("a0", "a1", "b0", "b1", "c0", "c1")
+        ground_th = (ground.select(
+            "graph_id", gs0.alias("a0"), gs1.alias("a1"),
+            gp0.alias("b0"), gp1.alias("b1"),
+            go0.alias("c0"), go1.alias("c1"))
+            .select("graph_id", gm.getField("h0").alias("t0"),
+                    gm.getField("h1").alias("t1")))
+        comb_h = comp_mux.where("contributes").select(
+            "graph_id", F.col("cb0").alias("t0"), F.col("cb1").alias("t1"))
+        ghash = unordered_sum_pairs(ground_th.union(comb_h), ["graph_id"],
+                                    "t0", "t1", "gh0", "gh1",
+                                    extra_init=BLANK_PAIR)
         colored = (
             colored.join(ghash, "graph_id")
-            .withColumn("color", combine2_udf(F.col("color"), F.col("ghash")))
+            .withColumn("fc", combine2_pairs_udf("h0", "h1", "gh0", "gh1"))
+            .select("graph_id", "bnode",
+                    F.col("fc.h0").alias("h0"), F.col("fc.h1").alias("h1"))
         )
 
     labels = colored.select(
         "graph_id", "bnode",
-        F.concat(F.lit("_:SK00"), F.lower(F.hex(F.col("color"))))
+        F.concat(F.lit("_:SK00"), pair_hex(F.col("h0"), F.col("h1")))
         .alias("label"),
-        "color",
     ).localCheckpoint(True)
     metrics["t_mux_s"] = round(_time.time() - _t0, 3)
 

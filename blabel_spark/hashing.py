@@ -153,3 +153,87 @@ def fold_sorted_lists_ordered(lists: Sequence[Sequence[bytes]]) -> list[bytes]:
 def md5_of_utf8_vec(strings: Sequence[str]) -> list[bytes]:
     """Batch md5(utf-8) — hashlib per row (C-speed), Arrow-batched upstream."""
     return [hashlib.md5(s.encode("utf-8")).digest() for s in strings]
+
+
+# ---------------------------------------------------------------------------
+# int64-pair representation.
+#
+# The distributed engine stores every 16-byte digest as TWO sign-flipped
+# int64 columns (h0, h1): h0 = first 8 big-endian bytes as unsigned minus
+# 2^63, likewise h1.  Sign-flipping makes SIGNED (h0, h1) ordering equal to
+# the unsigned byte-lexicographic (= hex-string) ordering the algorithm
+# sorts by (GraphColouring.HashCodeComparator).  Primitives end-to-end:
+# no per-row byte[]/bytes objects on either the JVM or Python side, and
+# numpy kernels operate on whole columns zero-copy.
+# ---------------------------------------------------------------------------
+
+SIGN64 = np.uint64(1) << np.uint64(63)
+MIN_LONG = -(1 << 63)
+
+
+def enc_pair(digest: bytes) -> tuple[int, int]:
+    """16-byte digest → stored (h0, h1) sign-flipped signed ints."""
+    return (int.from_bytes(digest[:8], "big") - (1 << 63),
+            int.from_bytes(digest[8:], "big") - (1 << 63))
+
+
+def dec_pair(h0: int, h1: int) -> bytes:
+    return ((h0 + (1 << 63)).to_bytes(8, "big")
+            + (h1 + (1 << 63)).to_bytes(8, "big"))
+
+
+def pairs_to_lanes(h0: np.ndarray, h1: np.ndarray) -> np.ndarray:
+    """(n,) int64 stored pairs → (n, 16) uint8 raw digest lanes."""
+    n = len(h0)
+    out = np.empty((n, HASH_BYTES), dtype=np.uint8)
+    u0 = (np.asarray(h0, dtype=np.int64).view(np.uint64) ^ SIGN64)
+    u1 = (np.asarray(h1, dtype=np.int64).view(np.uint64) ^ SIGN64)
+    out[:, :8] = np.ascontiguousarray(u0.astype(">u8")).view(np.uint8) \
+        .reshape(n, 8)
+    out[:, 8:] = np.ascontiguousarray(u1.astype(">u8")).view(np.uint8) \
+        .reshape(n, 8)
+    return out
+
+
+def lanes_to_pairs(lanes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, 16) uint8 raw lanes → stored (h0, h1) int64 arrays."""
+    n = lanes.shape[0]
+    u0 = np.ascontiguousarray(lanes[:, :8]).view(">u8").reshape(n) \
+        .astype(np.uint64)
+    u1 = np.ascontiguousarray(lanes[:, 8:]).view(">u8").reshape(n) \
+        .astype(np.uint64)
+    return ((u0 ^ SIGN64).view(np.int64), (u1 ^ SIGN64).view(np.int64))
+
+
+BLANK_PAIR = enc_pair(BLANK_HASH)
+PLUS_PAIR = enc_pair(PLUS)
+MINUS_PAIR = enc_pair(MINUS)
+
+
+def segmented_fold_ordered(seg_start: np.ndarray,
+                           lanes: np.ndarray) -> np.ndarray:
+    """combineOrdered-fold contiguous sorted segments of raw lanes.
+
+    seg_start: (n,) bool, True where a new segment begins.  Rows within a
+    segment must already be in fold order.  Returns (n_segments, 16)
+    folded lanes.  Vectorized via the left-zero-pad trick: segments are
+    scattered into a (n_seg, maxlen, 16) matrix right-aligned, then folded
+    column-by-column with uint8 wraparound.
+    """
+    n = lanes.shape[0]
+    seg_id = np.cumsum(seg_start) - 1
+    n_seg = int(seg_id[-1]) + 1 if n else 0
+    if n == 0:
+        return np.zeros((0, HASH_BYTES), dtype=np.uint8)
+    starts = np.flatnonzero(seg_start)
+    lens = np.diff(np.append(starts, n))
+    maxlen = int(lens.max())
+    pos = np.arange(n) - starts[seg_id]          # position within segment
+    slot = maxlen - lens[seg_id] + pos           # right-aligned slot
+    mat = np.zeros((n_seg, maxlen, HASH_BYTES), dtype=np.uint8)
+    mat[seg_id, slot, :] = lanes
+    r = np.zeros((n_seg, HASH_BYTES), dtype=np.uint8)
+    t37 = np.uint8(37)
+    for k in range(maxlen):
+        r = (r * t37) ^ mat[:, k, :]
+    return r

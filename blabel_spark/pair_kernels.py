@@ -1,0 +1,245 @@
+"""Spark kernels for the int64-pair digest representation.
+
+Every 16-byte md5 digest travels through the distributed engine as two
+sign-flipped int64 columns (see hashing.py pairs section).  Consequences:
+
+* static term hashes are pure JVM expressions (md5 → conv(…,16,-10) →
+  xor sign bit) — no Python at all;
+* signed (h0, h1) ordering == the algorithm's hex ordering, so plain
+  sort/sortWithinPartitions/array_sort give the fold order;
+* shuffles move primitive longs (UnsafeRow-inline, no object churn, no GC
+  amplification — the binary representation measurably ANTI-scaled on
+  32 cores because of per-row byte[]/bytes allocation on both sides);
+* the neighbourhood fold (A1) is a repartition+sortWithinPartitions and
+  ONE mapInPandas pass: numpy segmented fold over contiguous key runs,
+  with carry of the trailing incomplete key across Arrow batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from blabel_spark.hashing import (
+    MIN_LONG,
+    lanes_to_pairs,
+    pairs_to_lanes,
+    segmented_fold_ordered,
+)
+
+PAIR = StructType([StructField("h0", LongType()), StructField("h1", LongType())])
+
+
+# ---------------------------------------------------------------------------
+# JVM-side static hashing / rendering
+# ---------------------------------------------------------------------------
+
+def md5_pair(col: Column) -> tuple[Column, Column]:
+    """md5(term) as stored (h0, h1) — whole-stage-codegen only."""
+    h = F.md5(F.encode(col, "UTF-8"))
+    raw0 = F.conv(F.substring(h, 1, 16), 16, -10).cast("long")
+    raw1 = F.conv(F.substring(h, 17, 16), 16, -10).cast("long")
+    return (raw0.bitwiseXOR(F.lit(MIN_LONG)),
+            raw1.bitwiseXOR(F.lit(MIN_LONG)))
+
+
+def pair_hex(h0: Column, h1: Column) -> Column:
+    """Stored pair → the digest's 32-char lowercase hex (label rendering)."""
+    def hx(c: Column) -> Column:
+        return F.lower(F.lpad(F.hex(c.bitwiseXOR(F.lit(MIN_LONG))), 16, "0"))
+    return F.concat(hx(h0), hx(h1))
+
+
+def lanes_from_pair_sql(h0: Column, h1: Column) -> list[Column]:
+    """16 byte lanes of a stored pair as JVM int columns (used only on
+    tiny tables; bulk lane extraction goes through numpy)."""
+    out = []
+    for c in (h0, h1):
+        raw = c.bitwiseXOR(F.lit(MIN_LONG))
+        for i in range(8):
+            out.append(F.shiftrightunsigned(raw, (7 - i) * 8)
+                       .bitwiseAND(F.lit(255)).cast("int"))
+    return out
+
+
+def pair_from_lanes_sql(lanes: list[Column]) -> tuple[Column, Column]:
+    """16 int lane columns (0..255) → stored pair (tiny tables only)."""
+    hx = F.concat(*[F.lpad(F.hex(c), 2, "0") for c in lanes])
+    raw0 = F.conv(F.substring(hx, 1, 16), 16, -10).cast("long")
+    raw1 = F.conv(F.substring(hx, 17, 16), 16, -10).cast("long")
+    return (raw0.bitwiseXOR(F.lit(MIN_LONG)),
+            raw1.bitwiseXOR(F.lit(MIN_LONG)))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched scalar kernels
+# ---------------------------------------------------------------------------
+
+def _np(s: pd.Series) -> np.ndarray:
+    return s.to_numpy(dtype=np.int64)
+
+
+@F.pandas_udf(PAIR)
+def combine3_pairs_udf(a0: pd.Series, a1: pd.Series, b0: pd.Series,
+                       b1: pd.Series, c0: pd.Series,
+                       c1: pd.Series) -> pd.DataFrame:
+    """combineOrdered(a, b, c) over stored pairs → stored pair."""
+    t37 = np.uint8(37)
+    la = pairs_to_lanes(_np(a0), _np(a1))
+    lb = pairs_to_lanes(_np(b0), _np(b1))
+    lc = pairs_to_lanes(_np(c0), _np(c1))
+    r = (((la * t37) ^ lb) * t37) ^ lc
+    h0, h1 = lanes_to_pairs(r)
+    return pd.DataFrame({"h0": h0, "h1": h1})
+
+
+@F.pandas_udf(PAIR)
+def combine2_pairs_udf(a0: pd.Series, a1: pd.Series, b0: pd.Series,
+                       b1: pd.Series) -> pd.DataFrame:
+    t37 = np.uint8(37)
+    la = pairs_to_lanes(_np(a0), _np(a1))
+    lb = pairs_to_lanes(_np(b0), _np(b1))
+    r = (la * t37) ^ lb
+    h0, h1 = lanes_to_pairs(r)
+    return pd.DataFrame({"h0": h0, "h1": h1})
+
+
+@F.pandas_udf(PAIR)
+def hash_int_pair_udf(i: pd.Series) -> pd.DataFrame:
+    """Guava hashInt as a stored pair (md5 of 4 little-endian bytes)."""
+    import hashlib
+    from blabel_spark.hashing import enc_pair
+    pairs = [enc_pair(hashlib.md5(
+        (int(v) & 0xFFFFFFFF).to_bytes(4, "little")).digest()) for v in i]
+    return pd.DataFrame(pairs, columns=["h0", "h1"])
+
+
+@F.pandas_udf(PAIR)
+def fold_pair_array_udf(lists: pd.Series) -> pd.DataFrame:
+    """combineOrdered-fold a pre-sorted array<struct<h0,h1>> column — the
+    legacy/salted aggregation path (array elements arrive as dicts)."""
+    out0, out1 = [], []
+    for lst in lists:
+        h0 = np.fromiter((e["h0"] for e in lst), np.int64, len(lst))
+        h1 = np.fromiter((e["h1"] for e in lst), np.int64, len(lst))
+        lanes = pairs_to_lanes(h0, h1)
+        seg = np.zeros(len(lst), bool)
+        seg[0] = True
+        r = segmented_fold_ordered(seg, lanes)
+        p0, p1 = lanes_to_pairs(r)
+        out0.append(int(p0[0]))
+        out1.append(int(p1[0]))
+    return pd.DataFrame({"h0": out0, "h1": out1})
+
+
+# ---------------------------------------------------------------------------
+# A1: repartition + sortWithinPartitions + segmented numpy fold
+# ---------------------------------------------------------------------------
+
+_KEY = ["graph_id", "comp", "bnode"]
+_FOLD_SCHEMA = ("graph_id string, comp string, bnode string, "
+                "h0 long, h1 long")
+
+
+def _fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    buf: pd.DataFrame | None = None
+
+    def emit(pdf: pd.DataFrame, seg_start: np.ndarray) -> pd.DataFrame:
+        lanes = pairs_to_lanes(_np(pdf["m0"]), _np(pdf["m1"]))
+        folded = segmented_fold_ordered(seg_start, lanes)
+        h0, h1 = lanes_to_pairs(folded)
+        starts = np.flatnonzero(seg_start)
+        return pd.DataFrame({
+            "graph_id": pdf["graph_id"].to_numpy()[starts],
+            "comp": pdf["comp"].to_numpy()[starts],
+            "bnode": pdf["bnode"].to_numpy()[starts],
+            "h0": h0, "h1": h1,
+        })
+
+    def seg_starts(pdf: pd.DataFrame) -> np.ndarray:
+        n = len(pdf)
+        changed = np.zeros(n, dtype=bool)
+        changed[0] = True
+        for c in _KEY:
+            v = pdf[c].to_numpy()
+            changed[1:] |= v[1:] != v[:-1]
+        return changed
+
+    for pdf in batches:
+        if buf is not None and len(buf):
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+            buf = None
+        if not len(pdf):
+            continue
+        changed = seg_starts(pdf)
+        last = int(np.flatnonzero(changed)[-1])
+        buf = pdf.iloc[last:].reset_index(drop=True)
+        head = pdf.iloc[:last]
+        if len(head):
+            yield emit(head, changed[:last])
+    if buf is not None and len(buf):
+        yield emit(buf, seg_starts(buf))
+
+
+def fold_messages(msgs: DataFrame, num_partitions: int | None = None
+                  ) -> DataFrame:
+    """(graph_id, comp, bnode, m0, m1) message rows → folded colour per
+    bnode.  The previous colour must already be unioned in as message rows
+    (it sorts into place — GraphColouring.java:542-548 appends it to the
+    list before sorting).
+
+    A hub bnode's messages land contiguously in one partition and fold in
+    one numpy pass — cross-key parallelism is unaffected; per-key memory
+    equals the key's message count (same bound as the reference's
+    per-node ArrayList)."""
+    parts = num_partitions or msgs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    arranged = (msgs.repartition(int(parts), *_KEY)
+                .sortWithinPartitions(*_KEY, "m0", "m1"))
+    return arranged.mapInPandas(_fold_partition, _FOLD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# combineUnordered aggregation: numpy partial lane sums + JVM merge
+# ---------------------------------------------------------------------------
+
+def unordered_sum_pairs(df: DataFrame, keys: list[str], h0: str, h1: str,
+                        out0: str, out1: str,
+                        extra_init: tuple[int, int] | None = None) -> DataFrame:
+    """groupBy(keys) combineUnordered over stored pairs.
+
+    Stage 1 (mapInPandas): per Arrow batch, pandas-groupby partial sums of
+    the 16 byte lanes — map-side combine without JVM objects.
+    Stage 2 (JVM): sum the partial lanes, mod 256, reassemble the pair.
+    ``extra_init`` seeds every group (the reference's blank-hash seed,
+    HashGraph.java:166)."""
+    lane_cols = [f"_l{i}" for i in range(16)]
+    schema = ", ".join(f"{k} string" for k in keys) + ", " + \
+        ", ".join(f"{c} long" for c in lane_cols)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lanes = pairs_to_lanes(_np(pdf[h0]), _np(pdf[h1]))
+            d = pd.DataFrame(lanes.astype(np.int64), columns=lane_cols)
+            for k in keys:
+                d[k] = pdf[k].to_numpy()
+            yield d.groupby(keys, as_index=False, sort=False).sum()
+
+    part = df.select(*keys, h0, h1).mapInPandas(partial, schema)
+    aggs = [F.sum(c) for c in lane_cols]
+    if extra_init is not None:
+        from blabel_spark.hashing import pairs_to_lanes as p2l
+        init = p2l(np.array([extra_init[0]], dtype=np.int64),
+                   np.array([extra_init[1]], dtype=np.int64))[0]
+        aggs = [a + int(init[i]) for i, a in enumerate(aggs)]
+    aggs = [(a % 256).cast("int").alias(f"_s{i}") for i, a in enumerate(aggs)]
+    merged = part.groupBy(*keys).agg(*aggs)
+    p0, p1 = pair_from_lanes_sql([F.col(f"_s{i}") for i in range(16)])
+    return merged.select(*keys, p0.alias(out0), p1.alias(out1))
