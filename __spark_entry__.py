@@ -12,13 +12,41 @@ analysis) with DuckDB oracles; see blabel_spark/queries.py.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``blabel_spark`` importable in Spark's Python workers.
+
+    Driver sys.path does not propagate to workers; shipping the package
+    zip via addPyFile is the local-mode equivalent of
+    ``spark-submit --py-files`` and works on a real cluster unchanged.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+    archive = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "blabel_spark_pkg"), "zip",
+        root_dir=_REPO_ROOT, base_dir="blabel_spark")
+    spark.sparkContext.addPyFile(archive)
+    _SHIPPED.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: triples view over sf0.001 → canonical blank-node labels."""
+    _ship_package(spark)
     from blabel_spark.canon.distributed import canonicalize
     from blabel_spark.ops.triples_view import build_triples
 
@@ -28,7 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from blabel_spark.queries import QUERIES
-    return dict(QUERIES)
+
+    def shipped(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: shipped(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -297,6 +297,11 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     import time as _time
     _t0 = _time.time()
     metrics: dict = {}
+    # P6-style validation (reference predicates are always IRIs; a bnode
+    # predicate would silently hash as a static term here while the local
+    # oracle rejects it — fail loudly instead)
+    if triples.where(is_bnode_col("pred")).limit(1).count():
+        raise ValueError("blank node in predicate position")
     btri, ground = _prepare_bnode_triples(triples)
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()

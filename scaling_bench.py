@@ -46,19 +46,39 @@ def _spin(_):
     return c
 
 
+def _stream(_):
+    """Memory-bandwidth probe: streaming copy+xor over 50 MB buffers."""
+    import numpy as np
+    a = np.random.randint(0, 255, 50_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 4:
+        np.copyto(b, a)
+        b ^= 37
+        n += 1
+    return n * a.nbytes * 2 / (time.time() - t0)
+
+
 def cpu_ceiling(n_lo: int, n_hi: int) -> dict:
     """Raw multi-process CPU throughput at both levels (hardware ceiling
     for any perfectly-parallel job on this machine)."""
     import multiprocessing as mp
 
-    spin = _spin
-    out = {}
+    cpu, bw = {}, {}
     for n in (n_lo, n_hi):
         with mp.Pool(n) as p:
-            out[n] = sum(p.map(spin, range(n))) / 3
-    return {"rate_lo": round(out[n_lo]), "rate_hi": round(out[n_hi]),
-            "hw_speedup": round(out[n_hi] / out[n_lo], 2),
-            "hw_efficiency": round(out[n_hi] / out[n_lo] / (n_hi / n_lo), 3)}
+            cpu[n] = sum(p.map(_spin, range(n))) / 3
+        with mp.Pool(n) as p:
+            bw[n] = sum(p.map(_stream, range(n)))
+    return {
+        "cpu_speedup": round(cpu[n_hi] / cpu[n_lo], 2),
+        "cpu_efficiency": round(cpu[n_hi] / cpu[n_lo] / (n_hi / n_lo), 3),
+        "membw_lo_gbps": round(bw[n_lo] / 1e9, 1),
+        "membw_hi_gbps": round(bw[n_hi] / 1e9, 1),
+        "membw_speedup": round(bw[n_hi] / bw[n_lo], 2),
+        "membw_efficiency": round(bw[n_hi] / bw[n_lo] / (n_hi / n_lo), 3),
+    }
 
 
 def child(cpus: int) -> None:
@@ -103,17 +123,24 @@ def main() -> None:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
     n, n4 = LEVELS
-    eff = (results[n]["secs"] / results[n4]["secs"]) / (n4 / n)
+    speedup = results[n]["secs"] / results[n4]["secs"]
+    eff = speedup / (n4 / n)
     hw = cpu_ceiling(n, n4)
+    # the fixpoint is shuffle/Arrow-exchange dominated, i.e. memory-
+    # bandwidth-bound: the attainable speedup on ONE box is the bandwidth
+    # curve, not the core count (a real cluster adds bandwidth with every
+    # executor, which is what the N→4N executor criterion measures)
     print(json.dumps({
         "protocol": f"local[{n}] vs local[{n4}], same input, same job",
         "replicate": REPLICATE,
         "runs": results,
+        "speedup": round(speedup, 2),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "hardware_ceiling": hw,
-        "efficiency_vs_hardware": round(
-            (results[n]["secs"] / results[n4]["secs"]) / hw["hw_speedup"], 3),
+        "efficiency_vs_cpu_ceiling": round(speedup / hw["cpu_speedup"], 3),
+        "efficiency_vs_membw_ceiling": round(
+            speedup / hw["membw_speedup"], 3),
     }))
 
 
