@@ -85,10 +85,12 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5,
         .alias("sh"))
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh2"))
+    sb = shingles.select(F.col("doc_id").alias("_docb"),
+                         F.col("sh").alias("sh2"))
     inter = (
-        pairs.join(sa, "doc_a").join(
-            sb, (F.col("doc_b") == sb.doc_b) & (F.col("sh") == F.col("sh2")))
+        pairs.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_docb"))
+              & (F.col("sh") == F.col("sh2")))
         .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))

@@ -689,6 +689,86 @@ FROM documents
 """
 
 
+def q_quality_score(spark, sf):
+    from blabel_spark.ops.textstats import quality_score
+    return quality_score(load(spark, sf, "documents"))
+
+
+def _sql_quality() -> str:
+    stops = " + ".join(_sql_count_occ(w) for w in ["the", "a", "and"])
+    return f"""
+WITH stats AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+           AS n_tokens,
+         round(length(regexp_replace(text, '[^.!,?;:]', '', 'g'))
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         ({stops}) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id,
+       round(least(n_tokens / 100.0, 1.0) * 0.5
+             + round(n_stopwords / greatest(n_tokens, 1), 6) * 0.3
+             + (1.0 - least(punct_ratio * 10, 1.0)) * 0.2, 6) AS quality
+FROM stats
+"""
+
+
+SQL_QUALITY = _sql_quality()
+
+
+def q_ngram_jaccard(spark, sf):
+    """Jaccard verification of the LSH candidate pairs (dedup op family)."""
+    from blabel_spark.ops.dedup import lsh_candidate_pairs, ngram_jaccard
+    docs = load(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(docs, n_hashes=4, k=5, band_chars=1)
+    return ngram_jaccard(docs, pairs, k=5)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {_sql_minhash_col(0)} AS h0,
+         {_sql_minhash_col(1)} AS h1,
+         {_sql_minhash_col(2)} AS h2,
+         {_sql_minhash_col(3)} AS h3
+  FROM documents
+), bands AS (
+  SELECT doc_id, 0 AS band_id, substr(h0, 1, 1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, substr(h1, 1, 1) FROM sig
+  UNION ALL SELECT doc_id, 2, substr(h2, 1, 1) FROM sig
+  UNION ALL SELECT doc_id, 3, substr(h3, 1, 1) FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         substr(text, i, 5) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+        FROM documents)
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sa.sh = sb.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       round(coalesce(i.n_inter, 0)
+             / (ca.n + cb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN counts ca ON ca.doc_id = p.doc_a
+JOIN counts cb ON cb.doc_id = p.doc_b
+"""
+
+
 def q_knn_brute(spark, sf):
     from blabel_spark.ops.similarity import brute_force_topk
     return brute_force_topk(load(spark, sf, "embeddings"),
@@ -758,6 +838,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "ngram_jaccard": q_ngram_jaccard,
     "doc_fingerprint": q_fingerprint,
     "knn_brute_force": q_knn_brute,
     "lsh_bucket_stats": q_lsh_bucket_stats,
@@ -791,6 +873,8 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "token_stats": SQL_TOKEN_STATS,
     "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "doc_fingerprint": SQL_FINGERPRINT,
     "knn_brute_force": SQL_KNN,
     "lsh_bucket_stats": SQL_BUCKET_STATS,

@@ -110,3 +110,35 @@ def test_mixed_corpus_single_pass(spark):
     out = run_distributed(spark, graphs)
     for name, trips in graphs.items():
         assert out[name] == set(label_graph(trips).graph), name
+
+
+def test_parallelism_invariance_subprocess():
+    """FIXTURES §4: identical canonical output across parallelism levels.
+    Two separate JVMs (local[2] vs local[5]) canonicalize the same corpus;
+    the sorted-output hashes must match bit-for-bit."""
+    import subprocess
+    import sys
+
+    script = r"""
+import hashlib, sys
+sys.path.insert(0, "/root/repo")
+from blabel_spark.spark_util import get_spark
+from blabel_spark.canon.distributed import canonicalize
+from tests.test_local_canon import FIXTURES
+spark = get_spark("par-inv", cpus=int(sys.argv[1]), shuffle_partitions=7)
+rows = [(g, s, p, o) for g, trips in sorted(FIXTURES.items())
+        for s, p, o in trips]
+df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                 "pred string, obj string")
+out = sorted(map(tuple, canonicalize(spark, df).labelled.collect()))
+print("HASH:" + hashlib.md5(str(out).encode()).hexdigest())
+"""
+    hashes = []
+    for cpus in (2, 5):
+        r = subprocess.run([sys.executable, "-c", script, str(cpus)],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        lines = [l for l in r.stdout.splitlines() if l.startswith("HASH:")]
+        assert lines, r.stderr[-800:]
+        hashes.append(lines[0])
+    assert hashes[0] == hashes[1]
