@@ -337,6 +337,25 @@ def q_lean_graphs(spark, sf):
     return lean.groupBy("graph_id").agg(F.count("*").alias("n_lean"))
 
 
+def q_transcript_kg(spark, sf):
+    """Flagship north-star pipeline (rows-only — transcripts are not a
+    driver table, so the corpus is synthesized deterministically here):
+    transcripts → extraction → canonicalization → per-conversation stats.
+    Extraction P/R and the text-equality invariant are asserted in pytest
+    (tests/test_extract.py)."""
+    from blabel_spark.canon.distributed import canonicalize
+    from blabel_spark.datagen import gazetteer, transcripts_df
+    from blabel_spark.extract.pipeline import extract_triples
+    n_convs = max(int(2000 * float(sf.rstrip("/").rsplit("sf", 1)[-1])), 50)
+    tdf, _ = transcripts_df(spark, seed=42, n_convs=n_convs)
+    triples = extract_triples(spark, tdf, gazetteer())
+    res = canonicalize(spark, triples)
+    return (res.labelled.groupBy("graph_id")
+            .agg(F.count("*").alias("n_triples"),
+                 F.sum(F.when(F.col("subj").startswith("_:SK00"), 1)
+                       .otherwise(0)).alias("n_labelled_subjects")))
+
+
 def q_canonical_labels(spark, sf):
     """Flagship (no SQL oracle — the full fixpoint is not SQL-expressible):
     canonical labelling of every derived graph; returns per-graph label
@@ -822,6 +841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trivial_nonlean": q_trivial_nonlean,             # J5 skeleton
     "canonical_labels": q_canonical_labels,           # full engine (no SQL)
     "lean_graphs": q_lean_graphs,                     # §3.2 leaning (no SQL)
+    "transcript_kg_pipeline": q_transcript_kg,        # north-star E2E (no SQL)
     # relational parity
     "pricing_summary": q_pricing_summary,             # A10
     "customer_nation_rollup": q_customer_nation_rollup,  # J3 + broadcast
