@@ -277,7 +277,10 @@ def q_trivial_nonlean(spark, sf):
         .distinct()
     )
     cnt = edges.groupBy("graph_id", "node").agg(F.count("*").alias("n"))
-    ex = edges.select("graph_id", F.col("node").alias("x"), "e")
+    # only bnodes can be trivially non-lean → prune the probe side before
+    # the containment join (halves the join input)
+    ex = edges.where(F.col("node").startswith("_:")) \
+              .select("graph_id", F.col("node").alias("x"), "e")
     ey = edges.select("graph_id", F.col("node").alias("y"),
                       F.col("e").alias("e2"))
     matched = (
@@ -313,7 +316,7 @@ SQL_NONLEAN = TRIPLES_CTE + """
 )
 , matched AS (
   SELECT ex.graph_id, ex.node AS x, ey.node AS y, count(*) AS n_match
-  FROM edges ex
+  FROM (SELECT * FROM edges WHERE node LIKE '_:%') ex
   JOIN edges ey ON ex.graph_id = ey.graph_id AND ex.e = ey.e
               AND ex.node <> ey.node
   GROUP BY ex.graph_id, ex.node, ey.node
@@ -524,6 +527,43 @@ SELECT user_id, event_id, event_type FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ) WHERE rn = 1
+"""
+
+
+def q_sessionize(spark, sf):
+    """§2.8 window analytics: gap-based sessionization (lag + cumulative
+    sum) — the standard event-stream rollup a transcripts pipeline needs."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))) >= 1800
+    sess = (e.withColumn("new_s", F.when(gap | F.lag("ts").over(w).isNull(),
+                                         1).otherwise(0))
+            .withColumn("session_id", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("value_cents")))
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM sess GROUP BY user_id, session_id
 """
 
 
@@ -850,6 +890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_suppliers": q_semi_join_suppliers,     # J6
     "event_histogram": q_event_histogram,             # A10 bins
     "user_first_event": q_user_first_event,           # window
+    "sessionize": q_sessionize,                       # window lag+cumsum
     "max_by_event": q_max_by_event,                   # O7
     # training-data ops
     "exact_dedup": q_exact_dedup,
@@ -886,6 +927,7 @@ ORACLES: dict[str, str] = {
     "semi_join_suppliers": SQL_SEMI_SUPP,
     "event_histogram": SQL_EVENT_HIST,
     "user_first_event": SQL_FIRST_EVENT,
+    "sessionize": SQL_SESSIONIZE,
     "max_by_event": SQL_MAX_BY,
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_signatures": SQL_MINHASH,
