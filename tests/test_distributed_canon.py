@@ -9,8 +9,6 @@ dip/upg muxing, SK00 rendering.
 
 import random
 
-import pytest
-
 from blabel_spark.canon.local import label_graph
 from tests.test_local_canon import (
     FIXTURES,
