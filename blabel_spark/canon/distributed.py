@@ -71,8 +71,15 @@ class CanonResult:
 # minimum bnode (the reference's pivot).
 # ---------------------------------------------------------------------------
 
-def bnode_components(btri: DataFrame, max_iter: int = 50) -> DataFrame:
-    """(graph_id, bnode) → comp for every bnode in btri."""
+def bnode_components(btri: DataFrame, max_iter: int = 64) -> DataFrame:
+    """(graph_id, bnode) → comp for every bnode in btri.
+
+    Each round does min-label propagation over edges AND a pointer-doubling
+    jump (comp ← comp[comp]), so convergence takes O(log diameter) rounds
+    — a 2^64-diameter chain would be needed to hit ``max_iter``, and
+    hitting it raises instead of silently returning a split partition
+    (components split across fake pivots would give conflicting canonical
+    labels downstream)."""
     nodes = (
         btri.select("graph_id", F.col("subj").alias("bnode"))
         .where(is_bnode_col("subj"))
@@ -102,20 +109,32 @@ def bnode_components(btri: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy("graph_id", "bnode")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
-        new = (
+        stepped = (
             comp.join(nbr_min, ["graph_id", "bnode"], "left")
-            .select("graph_id", "bnode",
+            .select("graph_id", "bnode", F.col("comp").alias("old"),
                     F.least("comp", F.coalesce("nbr_comp", "comp"))
-                    .alias("comp"),
-                    (F.col("comp") != F.least(
-                        "comp", F.coalesce("nbr_comp", "comp")))
-                    .alias("changed"))
+                    .alias("comp"))
+        )
+        # pointer doubling: comp ← min(comp, comp[comp]) — the jump is what
+        # turns O(diameter) propagation into O(log diameter)
+        parent = comp.select(F.col("graph_id").alias("g"),
+                             F.col("bnode").alias("pn"),
+                             F.col("comp").alias("pp"))
+        new = (
+            stepped.join(parent, on=[stepped.graph_id == parent.g,
+                                     stepped.comp == parent.pn], how="left")
+            .select("graph_id", "bnode", "old",
+                    F.least("comp", F.coalesce("pp", "comp")).alias("comp"))
+            .withColumn("changed", F.col("old") != F.col("comp"))
+            .drop("old")
         ).localCheckpoint(True)
         n_changed = new.where("changed").count()
         comp = new.drop("changed")
         if n_changed == 0:
-            break
-    return comp
+            return comp
+    raise RuntimeError(
+        f"bnode_components failed to converge in {max_iter} rounds — "
+        "input graph pathologically deep or corrupted")
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +321,10 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # oracle rejects it — fail loudly instead)
     if triples.where(is_bnode_col("pred")).limit(1).count():
         raise ValueError("blank node in predicate position")
+    # RDF graphs are triple SETS (the reference loads into HashGraph /
+    # TreeSet structures); duplicate input rows would otherwise fold twice
+    # into the unordered graph/upg hashes and shift every label
+    triples = triples.select(*TRIPLE_COLS).dropDuplicates()
     btri, ground = _prepare_bnode_triples(triples)
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()
@@ -450,6 +473,12 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     ghc = unordered_sum_pairs(th, ["graph_id", "comp"], "t0", "t1",
                               "g0", "g1", extra_init=BLANK_PAIR)
 
+    # duplicate-component key: with set-semantic input (deduped above) and
+    # injective leaf colours, (g0, g1) is the unordered fold over the
+    # component's exact distinct labelled triple set — the distributed
+    # analogue of the oracle's graphs_seen TreeSet equality
+    # (GraphLabelling.java:100-119); (nt, nb) guard the astronomically
+    # rare md5 digest collision between non-isomorphic components
     sizes = (btri.groupBy("graph_id", "comp").agg(F.count("*").alias("nt"))
              .join(leaf.groupBy("graph_id", "comp")
                    .agg(F.count("*").alias("nb")), ["graph_id", "comp"]))

@@ -412,7 +412,14 @@ def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
 
     dip: distinguish isomorphic components by muxing a duplicate counter.
     upg: mux a unique graph-level hash into every blank node.
+
+    The input is normalized to a triple SET first — an RDF graph is a set
+    and the reference parses into set-backed structures; without this,
+    duplicate input rows would fold twice into the unordered graph/upg
+    hashes and shift every label (the distributed engine dedupes its
+    input identically).
     """
+    triples = sorted(set(triples))
     static: dict[str, bytes] = {}
     all_bnodes: set[str] = set()
     for t in triples:

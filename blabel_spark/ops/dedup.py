@@ -30,11 +30,29 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 4, k: int = 5,
-                       text_col: str = "text") -> DataFrame:
-    """(doc_id, h0..h{n-1}) MinHash signature over character k-shingles."""
+def _shingles(text_col: str, k: int, unit: str) -> Column:
+    """Array of k-shingles: ``unit="char"`` slides a k-char window (fine
+    for natural text); ``unit="word"`` joins k consecutive whitespace
+    tokens — the right granularity when the token vocabulary is small
+    relative to document length (char shingles then collide on every
+    frequent substring and near-dup detection degenerates to all-pairs)."""
     text = F.col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    if unit == "char":
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.length(text) - (k - 1), F.lit(1)))
+        return F.transform(idx, lambda i: text.substr(i, F.lit(k)))
+    words = F.filter(F.split(text, " "), lambda w: F.length(w) > 0)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 4, k: int = 5,
+                       text_col: str = "text",
+                       unit: str = "char") -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signature over k-shingles (char or
+    word, see _shingles)."""
+    sh = _shingles(text_col, k, unit)
     cols = []
     for s in range(n_hashes):
         # NB: the lambda must take exactly one arg — F.transform passes the
@@ -42,18 +60,24 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 4, k: int = 5,
         # default.  transform() consumes the lambda eagerly, so closing over
         # the loop variable via `seed` is safe.
         seed = F.lit(f"s{s}|")
-        hashes = F.transform(
-            idx, lambda i: F.md5(F.concat(seed, text.substr(i, F.lit(k)))))
+        hashes = F.transform(sh, lambda x: F.md5(F.concat(seed, x)))
         cols.append(F.array_min(hashes).alias(f"h{s}"))
     return docs.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, k: int = 5,
-                        band_chars: int = 4) -> DataFrame:
+                        band_chars: int = 4, unit: str = "char",
+                        signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup candidates: docs sharing a banded MinHash prefix.  The
     band join is an equi-join on (band_id, band_key) — at 100 TB this is
-    the only way near-dup detection scales (candidate pairs ≪ n²)."""
-    sig = minhash_signatures(docs, n_hashes, k)
+    the only way near-dup detection scales (candidate pairs ≪ n²).
+
+    Pass ``signatures`` (a minhash_signatures() result) to reuse one
+    signature computation across banding and downstream verification —
+    signature hashing dominates the cost, so consumers should compute it
+    once."""
+    sig = signatures if signatures is not None \
+        else minhash_signatures(docs, n_hashes, k, unit=unit)
     bands = None
     for s in range(n_hashes):
         b = sig.select(
@@ -73,16 +97,12 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, k: int = 5,
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5,
-                  text_col: str = "text") -> DataFrame:
-    """Jaccard similarity over distinct character k-shingles for the given
-    candidate pairs only."""
-    text = F.col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+                  text_col: str = "text", unit: str = "char") -> DataFrame:
+    """Jaccard similarity over distinct k-shingles for the given candidate
+    pairs only (never all pairs)."""
     shingles = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(
-            F.transform(idx, lambda i: text.substr(i, F.lit(k)))))
-        .alias("sh"))
+        F.explode(F.array_distinct(_shingles(text_col, k, unit))).alias("sh"))
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = shingles.select(F.col("doc_id").alias("_docb"),

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blabel_spark import flagship_oracles as _fo
 from blabel_spark.ops.triples_view import TRIPLES_CTE, build_triples, load
 
 HEX = "0123456789abcdef"
@@ -41,7 +42,7 @@ def q_ground_filter(spark, sf):
 SQL_GROUND = TRIPLES_CTE + """
 SELECT graph_id, count(*) AS n_ground
 FROM triples
-WHERE subj NOT LIKE '_:%' AND obj NOT LIKE '_:%'
+WHERE NOT starts_with(subj, '_:') AND NOT starts_with(obj, '_:')
 GROUP BY graph_id
 """
 
@@ -69,7 +70,7 @@ SQL_BNODE_POS = TRIPLES_CTE + """
   SELECT graph_id, obj AS term, 'o' AS pos FROM triples
 )
 SELECT pos, count(*) AS n_mentions, count(DISTINCT term) AS n_bnodes
-FROM pos WHERE term LIKE '_:%' GROUP BY pos
+FROM pos WHERE starts_with(term, '_:') GROUP BY pos
 """
 
 
@@ -95,9 +96,9 @@ def q_distinct_bnodes(spark, sf):
 
 SQL_DISTINCT_B = TRIPLES_CTE + """
 , b AS (
-  SELECT graph_id, subj AS term FROM triples WHERE subj LIKE '_:%'
+  SELECT graph_id, subj AS term FROM triples WHERE starts_with(subj, '_:')
   UNION ALL
-  SELECT graph_id, obj AS term FROM triples WHERE obj LIKE '_:%'
+  SELECT graph_id, obj AS term FROM triples WHERE starts_with(obj, '_:')
 )
 SELECT graph_id, count(DISTINCT term) AS n_bnodes FROM b GROUP BY graph_id
 """
@@ -130,11 +131,11 @@ SQL_WL_ROUND = TRIPLES_CTE + """
 , msgs AS (
   SELECT graph_id, subj AS bnode,
          md5(md5(obj) || '|' || pred || '|+') AS msg
-  FROM dtriples WHERE subj LIKE '_:%'
+  FROM dtriples WHERE starts_with(subj, '_:')
   UNION ALL
   SELECT graph_id, obj AS bnode,
          md5(md5(subj) || '|' || pred || '|-') AS msg
-  FROM dtriples WHERE obj LIKE '_:%'
+  FROM dtriples WHERE starts_with(obj, '_:')
 )
 SELECT graph_id, bnode,
        md5(string_agg(msg, ',' ORDER BY msg) || '|' || md5(bnode)) AS color
@@ -158,11 +159,11 @@ SQL_WL_CLASSES = TRIPLES_CTE + """
 , msgs AS (
   SELECT graph_id, subj AS bnode,
          md5(md5(obj) || '|' || pred || '|+') AS msg
-  FROM dtriples WHERE subj LIKE '_:%'
+  FROM dtriples WHERE starts_with(subj, '_:')
   UNION ALL
   SELECT graph_id, obj AS bnode,
          md5(md5(subj) || '|' || pred || '|-') AS msg
-  FROM dtriples WHERE obj LIKE '_:%'
+  FROM dtriples WHERE starts_with(obj, '_:')
 )
 , colors AS (
   SELECT graph_id, bnode,
@@ -190,7 +191,7 @@ def q_connected_components(spark, sf):
 SQL_CC = TRIPLES_CTE + """
 , bedges AS (
   SELECT DISTINCT graph_id, subj AS a, obj AS b FROM triples
-  WHERE subj LIKE '_:%' AND obj LIKE '_:%' AND subj <> obj
+  WHERE starts_with(subj, '_:') AND starts_with(obj, '_:') AND subj <> obj
 )
 , sym AS (
   SELECT graph_id, a, b FROM bedges
@@ -198,9 +199,9 @@ SQL_CC = TRIPLES_CTE + """
   SELECT graph_id, b, a FROM bedges
   UNION
   SELECT graph_id, term, term FROM (
-    SELECT graph_id, subj AS term FROM triples WHERE subj LIKE '_:%'
+    SELECT graph_id, subj AS term FROM triples WHERE starts_with(subj, '_:')
     UNION
-    SELECT graph_id, obj AS term FROM triples WHERE obj LIKE '_:%'
+    SELECT graph_id, obj AS term FROM triples WHERE starts_with(obj, '_:')
   )
 )
 , reach(graph_id, a, b) AS (
@@ -263,10 +264,17 @@ ORDER BY subj, pred, obj
 
 
 def q_trivial_nonlean(spark, sf):
-    """J5 skeleton: bnodes whose edge multiset is contained in another
+    """J5 skeleton: bnodes whose exact edge set is contained in another
     node's (GraphLeaning.filterTrivialNonLeanBnodes, GraphLeaning.java:
-    320-437).  Edge = (direction, pred, other-end); containment tested by
-    per-pair matched-edge counting."""
+    320-437).  Edge = (direction, pred, other-end).
+
+    Scale shape — rarest-edge probing, the SQL port of the local kernel's
+    selectivity index (lean/local.py:89-110; GraphLeaning.java:836-850):
+    each bnode x probes on its LEAST-FREQUENT edge only, so the candidate
+    join fans out by min-edge frequency (≈1-2 partners) instead of
+    exploding O(k²) on popular hub edges like a full edge self-join; the
+    exact containment count then runs only over surviving (x, y) pairs.
+    The oracle SQL keeps the direct all-pairs spec — same result set."""
     t = build_triples(spark, sf).dropDuplicates()
     edges = (
         t.select("graph_id", F.col("subj").alias("node"),
@@ -275,26 +283,39 @@ def q_trivial_nonlean(spark, sf):
                         F.concat(F.lit("-|"), "pred", F.lit("|"), "subj")
                         .alias("e")))
         .distinct()
-    )
+    ).localCheckpoint(True)
     cnt = edges.groupBy("graph_id", "node").agg(F.count("*").alias("n"))
-    # only bnodes can be trivially non-lean → prune the probe side before
-    # the containment join (halves the join input)
-    ex = edges.where(F.col("node").startswith("_:")) \
-              .select("graph_id", F.col("node").alias("x"), "e")
-    ey = edges.select("graph_id", F.col("node").alias("y"),
-                      F.col("e").alias("e2"))
+    bedges = edges.where(F.col("node").startswith("_:"))
+    # per-(graph, edge) frequency → each bnode's rarest edge (deterministic
+    # (f, e) tie-break); any superset-node must share it, so completeness
+    # is preserved for every probe-edge choice
+    freq = edges.groupBy("graph_id", "e").agg(F.count("*").alias("f"))
+    rare = (
+        bedges.join(freq, ["graph_id", "e"])
+        .groupBy("graph_id", "node")
+        .agg(F.min_by("e", F.struct("f", "e")).alias("e"))
+        .select("graph_id", F.col("node").alias("x"), "e")
+    )
+    cand = (
+        rare.join(edges.select("graph_id", F.col("node").alias("y"), "e"),
+                  ["graph_id", "e"])
+        .where(F.col("x") != F.col("y"))
+        .select("graph_id", "x", "y")
+    )
+    # containment verify on surviving pairs only: every edge of x must be
+    # an edge of y
+    xe = bedges.select("graph_id", F.col("node").alias("x"), "e")
+    ye = edges.select("graph_id", F.col("node").alias("y"), "e")
     matched = (
-        ex.join(ey, (ex.graph_id == ey.graph_id) & (F.col("e") == F.col("e2"))
-                & (F.col("x") != F.col("y")))
-        .drop(ey.graph_id)
+        cand.join(xe, ["graph_id", "x"])
+        .join(ye, ["graph_id", "y", "e"], "left_semi")
         .groupBy("graph_id", "x", "y").agg(F.count("*").alias("n_match"))
     )
     cx = cnt.select("graph_id", F.col("node").alias("x"),
                     F.col("n").alias("n_x"))
     dominated = (
         matched.join(cx, ["graph_id", "x"])
-        .where((F.col("n_match") == F.col("n_x"))
-               & F.col("x").startswith("_:"))
+        .where(F.col("n_match") == F.col("n_x"))
         .select("graph_id", F.col("x").alias("bnode"))
         .distinct()
     )
@@ -316,7 +337,7 @@ SQL_NONLEAN = TRIPLES_CTE + """
 )
 , matched AS (
   SELECT ex.graph_id, ex.node AS x, ey.node AS y, count(*) AS n_match
-  FROM (SELECT * FROM edges WHERE node LIKE '_:%') ex
+  FROM (SELECT * FROM edges WHERE starts_with(node, '_:')) ex
   JOIN edges ey ON ex.graph_id = ey.graph_id AND ex.e = ey.e
               AND ex.node <> ey.node
   GROUP BY ex.graph_id, ex.node, ey.node
@@ -324,7 +345,7 @@ SQL_NONLEAN = TRIPLES_CTE + """
 , dominated AS (
   SELECT DISTINCT m.graph_id, m.x AS bnode
   FROM matched m JOIN cnt c ON m.graph_id = c.graph_id AND m.x = c.node
-  WHERE m.n_match = c.n AND m.x LIKE '_:%'
+  WHERE m.n_match = c.n AND starts_with(m.x, '_:')
 )
 SELECT graph_id, count(*) AS n_nonlean FROM dominated GROUP BY graph_id
 """
@@ -360,16 +381,43 @@ def q_transcript_kg(spark, sf):
 
 
 def q_canonical_labels(spark, sf):
-    """Flagship (no SQL oracle — the full fixpoint is not SQL-expressible):
-    canonical labelling of every derived graph; returns per-graph label
-    census.  Cross-checked in pytest against the golden-tested local
-    oracle instead."""
+    """Flagship: canonical labelling of every derived graph; returns the
+    per-graph label census.  SQL-checkable via the labelling invariants:
+    the engine must emit exactly one label per distinct bnode, and labels
+    are injective within a graph (blabel's canonical labelling is a
+    bijective relabelling — GraphLabelling.call, GraphLabelling.java:
+    61-192), so n_bnodes == n_labels == the distinct-bnode count DuckDB
+    derives from the raw tables.  Bit-exact label VALUES are driver-checked
+    separately (canonical_label_values) and golden-tested in pytest."""
     from blabel_spark.canon.distributed import canonicalize
     t = build_triples(spark, sf)
     res = canonicalize(spark, t)
     return (res.labels.groupBy("graph_id")
             .agg(F.count("*").alias("n_bnodes"),
                  F.countDistinct("label").alias("n_labels")))
+
+
+SQL_CANONICAL_LABELS = TRIPLES_CTE + """
+, b AS (
+  SELECT graph_id, subj AS term FROM triples WHERE starts_with(subj, '_:')
+  UNION ALL
+  SELECT graph_id, obj AS term FROM triples WHERE starts_with(obj, '_:')
+)
+SELECT graph_id, count(DISTINCT term) AS n_bnodes,
+       count(DISTINCT term) AS n_labels
+FROM b GROUP BY graph_id
+"""
+
+
+def q_canonical_label_values(spark, sf):
+    """Flagship, bit-exact: the full (graph_id, bnode, label) table from
+    the distributed fixpoint, compared against labels precomputed by the
+    independent single-thread oracle (canon.local.label_graph, itself
+    golden-tested against the reference's BlabelTest labels).  Oracle data
+    is pinned to sf0.01 — see tools/gen_flagship_oracles.py."""
+    from blabel_spark.canon.distributed import canonicalize
+    t = build_triples(spark, sf)
+    return canonicalize(spark, t).labels.select("graph_id", "bnode", "label")
 
 
 # ---------------------------------------------------------------------------
@@ -391,8 +439,9 @@ def q_pricing_summary(spark, sf):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= '2024-06-30'
@@ -417,7 +466,8 @@ def q_customer_nation_rollup(spark, sf):
 
 SQL_CUST_NATION = """
 SELECT r_name, count(*) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -447,7 +497,8 @@ SQL_TOP_REVENUE = """
 SELECT o_orderkey AS orderkey, o_orderpriority, revenue_cents
 FROM (
   SELECT l_orderkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT)
            AS revenue_cents
   FROM lineitem GROUP BY l_orderkey
 ) r JOIN orders ON l_orderkey = o_orderkey
@@ -557,12 +608,13 @@ WITH gaps AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM sess GROUP BY user_id, session_id
 """
 
@@ -777,37 +829,50 @@ SQL_QUALITY = _sql_quality()
 
 
 def q_ngram_jaccard(spark, sf):
-    """Jaccard verification of the LSH candidate pairs (dedup op family)."""
-    from blabel_spark.ops.dedup import lsh_candidate_pairs, ngram_jaccard
+    """Jaccard verification of the LSH candidate pairs (dedup op family).
+
+    Word 3-shingles + 16-bit band keys: the driver corpus is random bags
+    over a ~40-word vocabulary, so char shingles collide on every frequent
+    substring and the candidate set degenerates to all-pairs — word
+    shingles keep candidates ≪ C(n,2), the only shape that scales (the
+    property is asserted in tests/test_dedup_scale.py).  Signatures are
+    computed once and shared between banding and verification."""
+    from blabel_spark.ops.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard)
     docs = load(spark, sf, "documents")
-    pairs = lsh_candidate_pairs(docs, n_hashes=4, k=5, band_chars=1)
-    return ngram_jaccard(docs, pairs, k=5)
+    sig = minhash_signatures(docs, n_hashes=4, k=3, unit="word")
+    pairs = lsh_candidate_pairs(docs, n_hashes=4, k=3, band_chars=4,
+                                signatures=sig)
+    return ngram_jaccard(docs, pairs, k=3, unit="word")
 
 
-SQL_NGRAM_JACCARD = f"""
-WITH sig AS (
+SQL_NGRAM_JACCARD = """
+WITH words AS (
   SELECT doc_id,
-         {_sql_minhash_col(0)} AS h0,
-         {_sql_minhash_col(1)} AS h1,
-         {_sql_minhash_col(2)} AS h2,
-         {_sql_minhash_col(3)} AS h3
+         list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
   FROM documents
+), allsh AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        FROM words)
+), sig AS (
+  SELECT doc_id,
+         min(md5('s0|' || sh)) AS h0, min(md5('s1|' || sh)) AS h1,
+         min(md5('s2|' || sh)) AS h2, min(md5('s3|' || sh)) AS h3
+  FROM allsh GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, 0 AS band_id, substr(h0, 1, 1) AS band_key FROM sig
-  UNION ALL SELECT doc_id, 1, substr(h1, 1, 1) FROM sig
-  UNION ALL SELECT doc_id, 2, substr(h2, 1, 1) FROM sig
-  UNION ALL SELECT doc_id, 3, substr(h3, 1, 1) FROM sig
+  SELECT doc_id, 0 AS band_id, substr(h0, 1, 4) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, substr(h1, 1, 4) FROM sig
+  UNION ALL SELECT doc_id, 2, substr(h2, 1, 4) FROM sig
+  UNION ALL SELECT doc_id, 3, substr(h3, 1, 4) FROM sig
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 ), shingles AS (
-  SELECT DISTINCT doc_id,
-         substr(text, i, 5) AS sh
-  FROM (SELECT doc_id, text,
-               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
-        FROM documents)
+  SELECT DISTINCT doc_id, sh FROM allsh
 ), counts AS (
   SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
 ), inter AS (
@@ -879,9 +944,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_dup_census": q_graph_dup_census,           # A9+A5
     "canonical_sort": q_canonical_sort,               # O1+U1
     "trivial_nonlean": q_trivial_nonlean,             # J5 skeleton
-    "canonical_labels": q_canonical_labels,           # full engine (no SQL)
-    "lean_graphs": q_lean_graphs,                     # §3.2 leaning (no SQL)
-    "transcript_kg_pipeline": q_transcript_kg,        # north-star E2E (no SQL)
+    "canonical_labels": q_canonical_labels,           # full engine census
+    "canonical_label_values": q_canonical_label_values,  # bit-exact labels
+    "lean_graphs": q_lean_graphs,                     # §3.2 leaning
+    "transcript_kg_pipeline": q_transcript_kg,        # north-star E2E
     # relational parity
     "pricing_summary": q_pricing_summary,             # A10
     "customer_nation_rollup": q_customer_nation_rollup,  # J3 + broadcast
@@ -917,9 +983,14 @@ ORACLES: dict[str, str] = {
     "graph_dup_census": SQL_DUP_CENSUS,
     "canonical_sort": SQL_CANON_SORT,
     "trivial_nonlean": SQL_NONLEAN,
-    # canonical_labels: intentionally no oracle (iterative fixpoint + branch
-    # and bound is not ANSI-SQL-expressible; verified in pytest vs the
-    # golden-tested local oracle instead)
+    # flagship oracles: canonical_labels checks the injective-labelling
+    # invariant in live SQL; the other three compare against outputs
+    # precomputed by the independent local oracles (canon.local /
+    # lean.local / datagen ground truth) — tools/gen_flagship_oracles.py
+    "canonical_labels": SQL_CANONICAL_LABELS,
+    "canonical_label_values": _fo.SQL_CANON_LABEL_VALUES,
+    "lean_graphs": _fo.SQL_LEAN_GRAPHS,
+    "transcript_kg_pipeline": _fo.SQL_TRANSCRIPT_KG,
     "pricing_summary": SQL_PRICING,
     "customer_nation_rollup": SQL_CUST_NATION,
     "top_revenue_orders": SQL_TOP_REVENUE,

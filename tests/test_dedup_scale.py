@@ -1,0 +1,70 @@
+"""Scale-shape properties of the dedup family: the LSH candidate set must
+stay far below C(n,2) (all-pairs never scales), while seeded near-dups
+are still caught and verified with high Jaccard."""
+
+from pyspark.sql import functions as F
+
+from blabel_spark.ops.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+)
+
+
+def _docs(spark):
+    """120 random-word docs + 3 seeded near-dup pairs."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    for d in range(120):
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(60))))
+    base = len(rows)
+    for j in range(3):
+        words = rows[j][1].split()
+        words[5] = "changed"          # one-token edit → near-dup
+        rows.append((base + j, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_candidates_far_below_all_pairs(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    sig = minhash_signatures(docs, n_hashes=4, k=3, unit="word")
+    pairs = lsh_candidate_pairs(docs, n_hashes=4, k=3, band_chars=4,
+                                signatures=sig)
+    n_pairs = pairs.count()
+    all_pairs = n * (n - 1) // 2
+    assert n_pairs < all_pairs * 0.05, (n_pairs, all_pairs)
+
+
+def test_seeded_near_dups_found_and_verified(spark):
+    docs = _docs(spark)
+    pairs = lsh_candidate_pairs(docs, n_hashes=4, k=3, band_chars=4,
+                                unit="word")
+    jac = ngram_jaccard(docs, pairs, k=3, unit="word")
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jac.collect()}
+    for j in range(3):
+        pair = (j, 120 + j)
+        assert pair in found, f"seeded near-dup {pair} missed by LSH"
+        assert found[pair] > 0.8, (pair, found[pair])
+
+
+def test_driver_corpus_selectivity(spark):
+    """On the driver documents table the word-shingle LSH must not
+    degenerate to all-pairs (char shingles do, on this vocabulary)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    pairs = lsh_candidate_pairs(docs, n_hashes=4, k=3, band_chars=4,
+                                unit="word")
+    assert pairs.count() < n * (n - 1) // 2 * 0.10
+
+
+def test_exact_dedup_counts(spark):
+    from blabel_spark.ops.dedup import exact_duplicates
+    rows = [(0, "a b c"), (1, "a b c"), (2, "unique text"), (3, "a b c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 3 and out[0]["keeper_doc_id"] == 0

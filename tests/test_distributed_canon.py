@@ -110,6 +110,22 @@ def test_mixed_corpus_single_pass(spark):
         assert out[name] == set(label_graph(trips).graph), name
 
 
+def test_long_chain_components_and_labels(spark):
+    """Deep-diameter regression: a 120-bnode chain must land in ONE
+    component (pointer-doubling CC, O(log d) rounds — a plain 50-round
+    propagation cap would split it) and canonicalize identically to the
+    local oracle."""
+    from blabel_spark.canon.distributed import bnode_components
+    chain = [(f"_:n{i:03d}", "<next>", f"_:n{i + 1:03d}") for i in range(119)]
+    rows = [("g", s, p, o) for s, p, o in chain]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    comps = bnode_components(df).select("comp").distinct().collect()
+    assert len(comps) == 1, f"chain split into {len(comps)} components"
+    out = run_distributed(spark, {"g": chain})
+    assert out["g"] == set(label_graph(chain).graph)
+
+
 def test_parallelism_invariance_subprocess():
     """FIXTURES §4: identical canonical output across parallelism levels.
     Two separate JVMs (local[2] vs local[5]) canonicalize the same corpus;
