@@ -39,15 +39,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from blabel_spark.hashing import BLANK_PAIR, MINUS_PAIR, MIN_LONG, PLUS_PAIR
+from blabel_spark.hashing import MIN_LONG, enc_pair, get_hash_family
 from blabel_spark.pair_kernels import (
     combine2_pairs_udf,
     combine3_pairs_udf,
     fold_messages,
     fold_pair_array_udf,
-    hash_int_pair_udf,
+    hash_int_pair_udf_for,
     md5_pair,
     pair_hex,
+    term_pair_exprs,
     unordered_sum_pairs,
 )
 
@@ -99,34 +100,31 @@ def bnode_components(btri: DataFrame, max_iter: int = 64) -> DataFrame:
 
     comp = nodes.withColumn("comp", F.col("bnode")).localCheckpoint(True)
     for _ in range(max_iter):
+        # pointer doubling fused into the propagation join: besides the
+        # real (symmetric) edges, every node contributes a virtual edge
+        # comp(b) → b, so the min-aggregation sees comp(comp(b)) in the
+        # SAME join — one shuffle per round, O(log diameter) rounds
+        pointer = comp.select("graph_id", F.col("comp").alias("a"),
+                              F.col("bnode").alias("b"))
         compr = comp.select(F.col("graph_id").alias("g"),
                             F.col("bnode").alias("n"),
                             F.col("comp").alias("nbr_comp"))
+        nbrs = sym.union(pointer)
         nbr_min = (
-            sym.join(compr, on=[sym.graph_id == compr.g, sym.a == compr.n])
+            nbrs.join(compr, on=[nbrs.graph_id == compr.g, nbrs.a == compr.n])
             .select(F.col("g").alias("graph_id"), F.col("b").alias("bnode"),
                     "nbr_comp")
             .groupBy("graph_id", "bnode")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
-        stepped = (
-            comp.join(nbr_min, ["graph_id", "bnode"], "left")
-            .select("graph_id", "bnode", F.col("comp").alias("old"),
-                    F.least("comp", F.coalesce("nbr_comp", "comp"))
-                    .alias("comp"))
-        )
-        # pointer doubling: comp ← min(comp, comp[comp]) — the jump is what
-        # turns O(diameter) propagation into O(log diameter)
-        parent = comp.select(F.col("graph_id").alias("g"),
-                             F.col("bnode").alias("pn"),
-                             F.col("comp").alias("pp"))
         new = (
-            stepped.join(parent, on=[stepped.graph_id == parent.g,
-                                     stepped.comp == parent.pn], how="left")
-            .select("graph_id", "bnode", "old",
-                    F.least("comp", F.coalesce("pp", "comp")).alias("comp"))
-            .withColumn("changed", F.col("old") != F.col("comp"))
-            .drop("old")
+            comp.join(nbr_min, ["graph_id", "bnode"], "left")
+            .select("graph_id", "bnode",
+                    F.least("comp", F.coalesce("nbr_comp", "comp"))
+                    .alias("comp"),
+                    (F.col("comp") != F.least(
+                        "comp", F.coalesce("nbr_comp", "comp")))
+                    .alias("changed"))
         ).localCheckpoint(True)
         n_changed = new.where("changed").count()
         comp = new.drop("changed")
@@ -141,9 +139,31 @@ def bnode_components(btri: DataFrame, max_iter: int = 64) -> DataFrame:
 # preparation
 # ---------------------------------------------------------------------------
 
-def _prepare_bnode_triples(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split into (bnode-touching triples with comp + static pair columns,
-    ground triples)."""
+SEP = "\x01"  # cannot occur inside an N3 term
+
+
+def _ikey(*cols) -> tuple:
+    """Flyweight term interning (S4, LabelRDFGraph.java:220-221 analogue):
+    a deterministic 128-bit key for a (graph, term) or (graph, comp) tuple
+    as two independently-seeded xxhash64 columns — pure codegen (native
+    JVM hash, far cheaper than md5), no dictionary shuffle, stable across
+    restarts (checkpoint-resume safe).  The fixpoint loop then shuffles,
+    joins and sorts fixed-width longs instead of N3 strings; 128 bits keep
+    the accidental-collision probability negligible at 10^12-row scale
+    (same budget the colour digests already accept)."""
+    return (F.xxhash64(F.lit(1), *[F.col(c) for c in cols]),
+            F.xxhash64(F.lit(2), *[F.col(c) for c in cols]))
+
+
+def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair
+                           ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split into (bnode-touching triples with comp, static hash pairs and
+    interned key columns, ground triples, bnode→comp table).
+
+    btri columns beyond the triple: comp, (ck0, ck1) interned component
+    key, (p0, p1) pred hash, (ss0, ss1)/(os0, os1) static term hashes when
+    subj/obj is ground (null otherwise), (ks0, ks1)/(ko0, ko1) interned
+    bnode keys when subj/obj is blank (null otherwise)."""
     tri = triples.select(*TRIPLE_COLS)
     has_b = is_bnode_col("subj") | is_bnode_col("obj")
     ground = tri.where(~has_b)
@@ -151,24 +171,33 @@ def _prepare_bnode_triples(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     comp = bnode_components(btri)
     anchor = F.when(is_bnode_col("subj"), F.col("subj")).otherwise(F.col("obj"))
-    p0, p1 = md5_pair(F.col("pred"))
-    s0, s1 = md5_pair(F.col("subj"))
-    o0, o1 = md5_pair(F.col("obj"))
+    p0, p1 = tp(F.col("pred"))
+    s0, s1 = tp(F.col("subj"))
+    o0, o1 = tp(F.col("obj"))
+    c0, c1 = _ikey("graph_id", "comp")
+    k_s0, k_s1 = _ikey("graph_id", "subj")
+    k_o0, k_o1 = _ikey("graph_id", "obj")
     btri = (
         btri.withColumn("_anchor", anchor)
         .join(comp.withColumnRenamed("bnode", "_anchor"),
               ["graph_id", "_anchor"])
         .drop("_anchor")
+        .withColumn("ck0", c0).withColumn("ck1", c1)
         .withColumn("p0", p0).withColumn("p1", p1)
         .withColumn("ss0", F.when(~is_bnode_col("subj"), s0))
         .withColumn("ss1", F.when(~is_bnode_col("subj"), s1))
         .withColumn("os0", F.when(~is_bnode_col("obj"), o0))
         .withColumn("os1", F.when(~is_bnode_col("obj"), o1))
+        .withColumn("ks0", F.when(is_bnode_col("subj"), k_s0))
+        .withColumn("ks1", F.when(is_bnode_col("subj"), k_s1))
+        .withColumn("ko0", F.when(is_bnode_col("obj"), k_o0))
+        .withColumn("ko1", F.when(is_bnode_col("obj"), k_o1))
     )
-    return btri, ground
+    return btri, ground, comp
 
 
-def _edge_views(btri: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _edge_views(btri: DataFrame, plus_pair=None,
+                minus_pair=None) -> tuple[DataFrame, DataFrame]:
     """Split the J1 message workload into static and dynamic parts.
 
     Subject bnodes receive combineOrdered(h(obj), h(pred), PLUS); object
@@ -177,20 +206,21 @@ def _edge_views(btri: DataFrame) -> tuple[DataFrame, DataFrame]:
     computed once here; bnode→bnode edges carry their pred/marker pairs
     and join the colour table each round.
     """
-    def side(bcol, ocol, os0, os1, mk):
+    def side(bcol, bk, ok, ot, mk):
         return btri.where(is_bnode_col(bcol)).select(
-            "graph_id", "comp", F.col(bcol).alias("bnode"),
-            F.col(ocol).alias("other"),
-            F.col(os0).alias("ot0"), F.col(os1).alias("ot1"),
+            "ck0", "ck1",
+            F.col(f"{bk}0").alias("bk0"), F.col(f"{bk}1").alias("bk1"),
+            F.col(f"{ok}0").alias("ok0"), F.col(f"{ok}1").alias("ok1"),
+            F.col(f"{ot}0").alias("ot0"), F.col(f"{ot}1").alias("ot1"),
             "p0", "p1",
             F.lit(mk[0]).alias("mk0"), F.lit(mk[1]).alias("mk1"))
 
-    edges = side("subj", "obj", "os0", "os1", PLUS_PAIR) \
-        .union(side("obj", "subj", "ss0", "ss1", MINUS_PAIR))
+    edges = side("subj", "ks", "ko", "os", plus_pair) \
+        .union(side("obj", "ko", "ks", "ss", minus_pair))
     static = edges.where(F.col("ot0").isNotNull())
     m = combine3_pairs_udf("ot0", "ot1", "p0", "p1", "mk0", "mk1")
     static_msgs = static.select(
-        "graph_id", "comp", "bnode",
+        "ck0", "ck1", "bk0", "bk1",
         m.getField("h0").alias("m0"), m.getField("h1").alias("m1"))
     bb_edges = edges.where(F.col("ot0").isNull()) \
                     .drop("ot0", "ot1")
@@ -199,15 +229,17 @@ def _edge_views(btri: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def _iteration_messages(static_msgs: DataFrame, bb_edges: DataFrame,
                         lab: DataFrame) -> DataFrame:
-    other_lab = lab.select(F.col("graph_id").alias("g"),
-                           F.col("bnode").alias("n"),
+    # the other end's interned key (ok) is globally unique (128-bit over
+    # graph_id+term), so the colour lookup joins on two longs only
+    other_lab = lab.select(F.col("bk0").alias("_n0"),
+                           F.col("bk1").alias("_n1"),
                            F.col("h0").alias("oc0"), F.col("h1").alias("oc1"))
     m = combine3_pairs_udf("oc0", "oc1", "p0", "p1", "mk0", "mk1")
     dyn = (
         bb_edges
-        .join(other_lab, on=[bb_edges.graph_id == other_lab.g,
-                             bb_edges.other == other_lab.n])
-        .select("graph_id", "comp", "bnode",
+        .join(other_lab, on=[bb_edges.ok0 == other_lab._n0,
+                             bb_edges.ok1 == other_lab._n1])
+        .select("ck0", "ck1", "bk0", "bk1",
                 m.getField("h0").alias("m0"), m.getField("h1").alias("m1"))
     )
     return static_msgs.union(dyn)
@@ -224,10 +256,11 @@ def _next_colors(msgs: DataFrame, lab: DataFrame,
     bnode's collect happens in ``salt_buckets`` balanced groups whose
     bucket-ordered arrays are re-sorted once per bnode and folded.
     """
-    key = ["graph_id", "comp", "bnode"]
+    key = ["ck0", "ck1", "bk0", "bk1"]
     prev_rows = lab.select(*key, F.col("h0").alias("m0"),
-                           F.col("h1").alias("m1"))
-    all_msgs = msgs.union(prev_rows)
+                           F.col("h1").alias("m1"),
+                           F.lit(True).alias("is_prev"))
+    all_msgs = msgs.withColumn("is_prev", F.lit(False)).union(prev_rows)
     if salt_buckets and salt_buckets > 1:
         bucket = (F.shiftrightunsigned(
             F.col("m0").bitwiseXOR(F.lit(MIN_LONG)), 56)
@@ -236,7 +269,8 @@ def _next_colors(msgs: DataFrame, lab: DataFrame,
             all_msgs.withColumn("bucket", bucket)
             .groupBy(*key, "bucket")
             .agg(F.sort_array(F.collect_list(
-                F.struct(F.col("m0").alias("h0"), F.col("m1").alias("h1"))))
+                F.struct(F.col("m0").alias("h0"), F.col("m1").alias("h1"),
+                         F.col("is_prev"))))
                 .alias("arr"))
         )
         merged = (
@@ -248,11 +282,14 @@ def _next_colors(msgs: DataFrame, lab: DataFrame,
         folded = merged.select(
             *key, fold_pair_array_udf(F.col("msgs")).alias("c"))
         return folded.select(*key, F.col("c.h0").alias("h0"),
-                             F.col("c.h1").alias("h1"))
+                             F.col("c.h1").alias("h1"),
+                             F.col("c.oh0").alias("oh0"),
+                             F.col("c.oh1").alias("oh1"))
     return fold_messages(all_msgs)
 
 
-def _kernel_colors(btri_kernel: DataFrame) -> DataFrame:
+def _kernel_colors(btri_kernel: DataFrame,
+                   hash_name: str = "md5") -> DataFrame:
     """Finish automorphic components with the local branch-and-bound kernel
     (GraphColouring.traverse + minimum-leaf selection, GraphColouring.java:
     137-141,180-253), one applyInPandas group per (graph_id, comp)."""
@@ -262,8 +299,9 @@ def _kernel_colors(btri_kernel: DataFrame) -> DataFrame:
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         from blabel_spark.canon.local import (
             _Colouring, graph_sort_key, is_bnode)
-        from blabel_spark.hashing import BLANK_HASH as BH
-        from blabel_spark.hashing import enc_pair, hash_string
+        from blabel_spark.hashing import enc_pair, get_hash_family
+        hf = get_hash_family(hash_name)
+        BH = hf.blank
         graph_id = pdf["graph_id"].iloc[0]
         comp = pdf["comp"].iloc[0]
         triples = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
@@ -274,9 +312,9 @@ def _kernel_colors(btri_kernel: DataFrame) -> DataFrame:
                 if is_bnode(term):
                     colors[term] = BH
                 elif term not in static:
-                    static[term] = hash_string(term)
+                    static[term] = hf.hash_string(term)
         col = _Colouring(triples=triples, static=static, colors=colors,
-                         path=[], leaves={}, colour_iters=[])
+                         path=[], leaves={}, colour_iters=[], hf=hf)
         col.execute()
         best = min(col.leaves, key=graph_sort_key)
         leaf = col.leaves[best][0]
@@ -298,6 +336,7 @@ def _kernel_colors(btri_kernel: DataFrame) -> DataFrame:
 
 def canonicalize(spark: SparkSession, triples: DataFrame, *,
                  dip: bool = True, upg: bool = True,
+                 hash_name: str = "md5",
                  max_iterations: int = 64,
                  salt_buckets: int = 0,
                  checkpoint_dir: str | None = None,
@@ -316,6 +355,18 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     import time as _time
     _t0 = _time.time()
     metrics: dict = {}
+    # F2 hash-family selection (-s, LabelRDFGraph.java:150-161): any
+    # 16-byte family rides the int64-pair engine; wider families (sha1/
+    # sha256/sha512) go through the per-graph kernel path instead
+    hf = get_hash_family(hash_name)
+    if hf.n_bytes != 16:
+        return canonicalize_by_graph(spark, triples, hash_name=hash_name,
+                                     dip=dip, upg=upg)
+    tp = term_pair_exprs(hash_name)
+    blank_pair = enc_pair(hf.blank)
+    plus_pair = enc_pair(hf.plus)
+    minus_pair = enc_pair(hf.minus)
+    hash_int_udf = hash_int_pair_udf_for(hash_name)
     # P6-style validation (reference predicates are always IRIs; a bnode
     # predicate would silently hash as a static term here while the local
     # oracle rejects it — fail loudly instead)
@@ -325,7 +376,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # TreeSet structures); duplicate input rows would otherwise fold twice
     # into the unordered graph/upg hashes and shift every label
     triples = triples.select(*TRIPLE_COLS).dropDuplicates()
-    btri, ground = _prepare_bnode_triples(triples)
+    btri, ground, node_comp = _prepare_bnode_triples(triples, tp)
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()
     metrics["t_prep_s"] = round(_time.time() - _t0, 3)
@@ -338,30 +389,31 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         ckpt = FixpointCheckpoint(spark, checkpoint_dir)
         restored = ckpt.restore()
 
-    static_msgs, bb_edges = _edge_views(btri)
+    static_msgs, bb_edges = _edge_views(btri, plus_pair, minus_pair)
     static_msgs = static_msgs.localCheckpoint(True)
     bb_edges = bb_edges.localCheckpoint(True)
 
+    CK = ["ck0", "ck1"]
     if restored is not None:
         it, lab, conv_prev, res_df, kern_df = restored
         metrics["resumed_from_iteration"] = it
         resolved = [res_df] if res_df is not None else []
         kernel_parts = [kern_df] if kern_df is not None else []
-        active = conv_prev.select("graph_id", "comp").localCheckpoint(True)
+        active = conv_prev.select(*CK).localCheckpoint(True)
     else:
         lab = (
-            btri.select("graph_id", "comp", F.col("subj").alias("bnode"))
+            btri.select("ck0", "ck1", F.col("ks0").alias("bk0"),
+                        F.col("ks1").alias("bk1"))
             .where(is_bnode_col("subj"))
-            .union(btri.select("graph_id", "comp",
-                               F.col("obj").alias("bnode"))
+            .union(btri.select("ck0", "ck1", F.col("ko0").alias("bk0"),
+                               F.col("ko1").alias("bk1"))
                    .where(is_bnode_col("obj")))
             .distinct()
-            .withColumn("h0", F.lit(BLANK_PAIR[0]))
-            .withColumn("h1", F.lit(BLANK_PAIR[1]))
+            .withColumn("h0", F.lit(blank_pair[0]))
+            .withColumn("h1", F.lit(blank_pair[1]))
         ).localCheckpoint(True)
 
-        conv_prev = (lab.groupBy("graph_id", "comp")
-                     .agg(F.lit(1).alias("prev_nc")))
+        conv_prev = lab.groupBy(*CK).agg(F.lit(1).alias("prev_nc"))
 
         resolved: list[DataFrame] = []
         kernel_parts: list[DataFrame] = []
@@ -370,34 +422,43 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     while True:
         it += 1
         sm = static_msgs if active is None else \
-            static_msgs.join(active, ["graph_id", "comp"], "left_semi")
+            static_msgs.join(active, CK, "left_semi")
         msgs = _iteration_messages(sm, bb_edges, lab)
         new_lab = _next_colors(msgs, lab, salt_buckets).localCheckpoint(True)
 
+        # convergence + refinement audit in ONE aggregation: the fold
+        # passes each bnode's previous colour through (oh columns), so we
+        # verify every round strictly REFINES the partition (each new
+        # class lies inside one old class ⇔ countDistinct(old,new) ==
+        # countDistinct(new)) with no extra join.  An md5 collision that
+        # merges classes while the component still grows would otherwise
+        # keep status 'active' and silently diverge from the oracle
+        # (GraphColouring.java:563-635 recovers deterministically — here
+        # violating components route to the kernel, which has that
+        # recovery)
         conv = (
-            new_lab.groupBy("graph_id", "comp")
+            new_lab.groupBy(*CK)
             .agg(F.countDistinct("h0", "h1").alias("nc"),
+                 F.countDistinct("oh0", "oh1", "h0", "h1").alias("ncross"),
                  F.count("*").alias("nb"))
-            .join(conv_prev, ["graph_id", "comp"])
+            .join(conv_prev, CK)
             .withColumn("status",
-                        F.when(F.col("nc") == F.col("nb"), "discrete")
+                        F.when(F.col("ncross") != F.col("nc"), "stalled")
+                        .when(F.col("nc") == F.col("nb"), "discrete")
                         .when(F.col("nc") <= F.col("prev_nc"), "stalled")
                         .otherwise("active"))
         ).localCheckpoint(True)
 
         counts = {r["status"]: r["n"] for r in
                   conv.groupBy("status").agg(F.count("*").alias("n")).collect()}
-        done_comps = conv.where(F.col("status") == "discrete") \
-                         .select("graph_id", "comp")
-        stall_comps = conv.where(F.col("status") == "stalled") \
-                          .select("graph_id", "comp")
+        done_comps = conv.where(F.col("status") == "discrete").select(*CK)
+        stall_comps = conv.where(F.col("status") == "stalled").select(*CK)
 
         if counts.get("discrete"):
-            resolved.append(
-                new_lab.join(done_comps, ["graph_id", "comp"], "left_semi"))
+            resolved.append(new_lab.drop("oh0", "oh1")
+                            .join(done_comps, CK, "left_semi"))
         if counts.get("stalled"):
-            kernel_parts.append(
-                btri.join(stall_comps, ["graph_id", "comp"], "left_semi"))
+            kernel_parts.append(btri.join(stall_comps, CK, "left_semi"))
 
         n_active = counts.get("active", 0)
         if n_active == 0 or it >= max_iterations:
@@ -406,18 +467,16 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                 # reference uses wall-clock timeouts per document,
                 # RunNQuadsTest.java:76)
                 kernel_parts.append(btri.join(
-                    conv.where(F.col("status") == "active")
-                    .select("graph_id", "comp"),
-                    ["graph_id", "comp"], "left_semi"))
+                    conv.where(F.col("status") == "active").select(*CK),
+                    CK, "left_semi"))
                 metrics["over_budget_comps"] = n_active
             break
 
-        active = conv.where(F.col("status") == "active") \
-                     .select("graph_id", "comp")
-        lab = new_lab.join(active, ["graph_id", "comp"], "left_semi") \
+        active = conv.where(F.col("status") == "active").select(*CK)
+        lab = new_lab.drop("oh0", "oh1").join(active, CK, "left_semi") \
                      .localCheckpoint(True)
         conv_prev = conv.where(F.col("status") == "active") \
-            .select("graph_id", "comp", F.col("nc").alias("prev_nc"))
+            .select(*CK, F.col("nc").alias("prev_nc"))
 
         if ckpt is not None and it % checkpoint_every == 0:
             res_u = resolved[0] if resolved else None
@@ -432,13 +491,18 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     metrics["t_loop_s"] = round(_time.time() - _t0, 3)
     _t0 = _time.time()
 
-    # leaf colours: distributed-discrete ∪ kernel output
+    # leaf colours: distributed-discrete ∪ kernel output (interned schema)
     parts = list(resolved)
     if kernel_parts:
         kb = kernel_parts[0]
         for p in kernel_parts[1:]:
             kb = kb.union(p)
-        parts.append(_kernel_colors(kb))
+        kc = _kernel_colors(kb, hash_name)
+        c0, c1 = _ikey("graph_id", "comp")
+        b0, b1 = _ikey("graph_id", "bnode")
+        parts.append(kc.select(c0.alias("ck0"), c1.alias("ck1"),
+                               b0.alias("bk0"), b1.alias("bk1"),
+                               "h0", "h1"))
     if not parts:
         empty = spark.createDataFrame(
             [], "graph_id string, bnode string, label string")
@@ -453,25 +517,36 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
 
     # ---- per-component canonical hash + mux (GraphColouring.java:121-168,
     # GraphLabelling.java:100-119) ----------------------------------------
-    slab = leaf.select(F.col("graph_id").alias("g"), F.col("bnode").alias("n"),
+    # btrij: triples decorated with their endpoints' leaf colours, joined
+    # on interned long keys; reused by BOTH the component hash and the
+    # fused relabel below (the string-keyed tri ⋈ labels joins are gone)
+    slab = leaf.select(F.col("bk0").alias("_s0"), F.col("bk1").alias("_s1"),
                        F.col("h0").alias("sc0"), F.col("h1").alias("sc1"))
-    olab = leaf.select(F.col("graph_id").alias("g"), F.col("bnode").alias("n"),
+    olab = leaf.select(F.col("bk0").alias("_o0"), F.col("bk1").alias("_o1"),
                        F.col("h0").alias("oc0"), F.col("h1").alias("oc1"))
+    btrij = (
+        btri
+        .join(slab, on=[btri.ks0 == slab._s0, btri.ks1 == slab._s1],
+              how="left").drop("_s0", "_s1")
+        .join(olab, on=[btri.ko0 == olab._o0, btri.ko1 == olab._o1],
+              how="left").drop("_o0", "_o1")
+        .select("graph_id", "subj", "pred", "obj", "ck0", "ck1",
+                "p0", "p1", "ss0", "ss1", "os0", "os1",
+                "sc0", "sc1", "oc0", "oc1")
+    ).localCheckpoint(True)
+
     tm = combine3_pairs_udf(
         F.coalesce("sc0", "ss0"), F.coalesce("sc1", "ss1"),
         F.col("p0"), F.col("p1"),
         F.coalesce("oc0", "os0"), F.coalesce("oc1", "os1"))
-    th = (
-        btri
-        .join(slab, on=[btri.graph_id == slab.g, btri.subj == slab.n],
-              how="left").drop("g", "n")
-        .join(olab, on=[btri.graph_id == olab.g, btri.obj == olab.n],
-              how="left").drop("g", "n")
-        .select("graph_id", "comp",
-                tm.getField("h0").alias("t0"), tm.getField("h1").alias("t1"))
-    )
-    ghc = unordered_sum_pairs(th, ["graph_id", "comp"], "t0", "t1",
-                              "g0", "g1", extra_init=BLANK_PAIR)
+    th = btrij.select("ck0", "ck1", tm.getField("h0").alias("t0"),
+                      tm.getField("h1").alias("t1"))
+    cd0, cd1 = _ikey("graph_id", "comp")
+    comp_dict = (node_comp.select("graph_id", "comp").distinct()
+                 .withColumn("ck0", cd0).withColumn("ck1", cd1))
+    ghc = unordered_sum_pairs(th, ["ck0", "ck1"], "t0", "t1",
+                              "g0", "g1", extra_init=blank_pair) \
+        .join(comp_dict, ["ck0", "ck1"])
 
     # duplicate-component key: with set-semantic input (deduped above) and
     # injective leaf colours, (g0, g1) is the unordered fold over the
@@ -479,13 +554,13 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # analogue of the oracle's graphs_seen TreeSet equality
     # (GraphLabelling.java:100-119); (nt, nb) guard the astronomically
     # rare md5 digest collision between non-isomorphic components
-    sizes = (btri.groupBy("graph_id", "comp").agg(F.count("*").alias("nt"))
-             .join(leaf.groupBy("graph_id", "comp")
-                   .agg(F.count("*").alias("nb")), ["graph_id", "comp"]))
+    sizes = (btri.groupBy("ck0", "ck1").agg(F.count("*").alias("nt"))
+             .join(leaf.groupBy("ck0", "ck1")
+                   .agg(F.count("*").alias("nb")), ["ck0", "ck1"]))
     dup_w = Window.partitionBy("graph_id", "g0", "g1", "nt", "nb") \
                   .orderBy("comp")
     comp_mux = (
-        ghc.join(sizes, ["graph_id", "comp"])
+        ghc.join(sizes, ["ck0", "ck1"])
         .withColumn("rank", F.row_number().over(dup_w))
         # duplicate mux ints: first copy 0, then count+1 = 2, 3, ...
         # (GraphLabelling.java:100-119 passing count+1 to getCanonicalGraph)
@@ -494,24 +569,20 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                     .otherwise(F.col("rank")) if dip else F.lit(0))
         .withColumn("contributes",
                     F.lit(True) if dip else (F.col("rank") == 1))
-        .withColumn("mx", hash_int_pair_udf(F.col("mux_i")))
+        .withColumn("mx", hash_int_udf(F.col("mux_i")))
         .withColumn("cb", combine2_pairs_udf("g0", "g1", "mx.h0", "mx.h1"))
-        .select("graph_id", "comp", F.col("cb.h0").alias("cb0"),
+        .select("graph_id", "ck0", "ck1", F.col("cb.h0").alias("cb0"),
                 F.col("cb.h1").alias("cb1"), "contributes")
     ).localCheckpoint(True)
 
-    colored = (
-        leaf.join(comp_mux, ["graph_id", "comp"])
-        .withColumn("cc", combine2_pairs_udf("h0", "h1", "cb0", "cb1"))
-        .select("graph_id", "bnode",
-                F.col("cc.h0").alias("h0"), F.col("cc.h1").alias("h1"))
-    )
-
-    # ---- upg: graph-level unique hash (GraphLabelling.java:137-150) -------
+    # ---- upg: graph-level unique hash (GraphLabelling.java:137-150),
+    # merged into the per-component mux table so every downstream consumer
+    # needs ONE compact join + ONE combine3 (combine2(combine2(h,cb),gh)
+    # == combine3(h,cb,gh), identical lane arithmetic) ---------------------
     if upg:
-        gs0, gs1 = md5_pair(F.col("subj"))
-        gp0, gp1 = md5_pair(F.col("pred"))
-        go0, go1 = md5_pair(F.col("obj"))
+        gs0, gs1 = tp(F.col("subj"))
+        gp0, gp1 = tp(F.col("pred"))
+        go0, go1 = tp(F.col("obj"))
         gm = combine3_pairs_udf("a0", "a1", "b0", "b1", "c0", "c1")
         ground_th = (ground.select(
             "graph_id", gs0.alias("a0"), gs1.alias("a1"),
@@ -523,37 +594,97 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
             "graph_id", F.col("cb0").alias("t0"), F.col("cb1").alias("t1"))
         ghash = unordered_sum_pairs(ground_th.union(comb_h), ["graph_id"],
                                     "t0", "t1", "gh0", "gh1",
-                                    extra_init=BLANK_PAIR)
-        colored = (
-            colored.join(ghash, "graph_id")
-            .withColumn("fc", combine2_pairs_udf("h0", "h1", "gh0", "gh1"))
-            .select("graph_id", "bnode",
-                    F.col("fc.h0").alias("h0"), F.col("fc.h1").alias("h1"))
-        )
+                                    extra_init=blank_pair)
+        mux = comp_mux.join(ghash, "graph_id") \
+            .select("ck0", "ck1", "cb0", "cb1", "gh0", "gh1")
 
-    labels = colored.select(
-        "graph_id", "bnode",
-        F.concat(F.lit("_:SK00"), pair_hex(F.col("h0"), F.col("h1")))
-        .alias("label"),
+        def final_pair(h0, h1):
+            return combine3_pairs_udf(h0, h1, F.col("cb0"), F.col("cb1"),
+                                      F.col("gh0"), F.col("gh1"))
+    else:
+        mux = comp_mux.select("ck0", "ck1", "cb0", "cb1")
+
+        def final_pair(h0, h1):
+            return combine2_pairs_udf(h0, h1, F.col("cb0"), F.col("cb1"))
+
+    # bnode decode dictionary: the CC node table already holds one row per
+    # distinct (graph, bnode) and is checkpointed — attach keys by codegen,
+    # no extra distinct shuffle
+    dk0, dk1 = _ikey("graph_id", "bnode")
+    bnode_dict = node_comp.select("graph_id", "bnode",
+                                  dk0.alias("bk0"), dk1.alias("bk1"))
+    fc = final_pair(F.col("h0"), F.col("h1"))
+    labels = (
+        leaf.join(mux, ["ck0", "ck1"])
+        .withColumn("fc", fc)
+        .join(bnode_dict, ["bk0", "bk1"])
+        .select("graph_id", "bnode",
+                F.concat(F.lit("_:SK00"),
+                         pair_hex(F.col("fc.h0"), F.col("fc.h1")))
+                .alias("label"))
     ).localCheckpoint(True)
     metrics["t_mux_s"] = round(_time.time() - _t0, 3)
 
-    # ---- relabel the full graph (GraphColouring.labelBlankNodes) ----------
-    tri = triples.select(*TRIPLE_COLS)
-    sl = labels.select(F.col("graph_id").alias("g"), F.col("bnode").alias("n"),
-                       F.col("label").alias("s_l"))
-    ol = labels.select(F.col("graph_id").alias("g"), F.col("bnode").alias("n"),
-                       F.col("label").alias("o_l"))
+    # ---- fused relabel (GraphColouring.labelBlankNodes): the final colour
+    # is computed IN-ROW from the already-joined leaf colours + the compact
+    # per-component mux — no triple ⋈ labels string joins ------------------
+    sfc = final_pair(F.coalesce("sc0", F.lit(0)), F.coalesce("sc1", F.lit(0)))
+    ofc = final_pair(F.coalesce("oc0", F.lit(0)), F.coalesce("oc1", F.lit(0)))
     labelled = (
-        tri
-        .join(sl, on=[tri.graph_id == sl.g, tri.subj == sl.n], how="left")
-        .drop("g", "n")
-        .join(ol, on=[tri.graph_id == ol.g, tri.obj == ol.n], how="left")
-        .drop("g", "n")
-        .select("graph_id",
-                F.coalesce("s_l", "subj").alias("subj"),
-                "pred",
-                F.coalesce("o_l", "obj").alias("obj"))
+        btrij.join(mux, ["ck0", "ck1"])
+        .withColumn("sfc", sfc).withColumn("ofc", ofc)
+        .select(
+            "graph_id",
+            F.when(F.col("sc0").isNotNull(),
+                   F.concat(F.lit("_:SK00"),
+                            pair_hex(F.col("sfc.h0"), F.col("sfc.h1"))))
+            .otherwise(F.col("subj")).alias("subj"),
+            "pred",
+            F.when(F.col("oc0").isNotNull(),
+                   F.concat(F.lit("_:SK00"),
+                            pair_hex(F.col("ofc.h0"), F.col("ofc.h1"))))
+            .otherwise(F.col("obj")).alias("obj"))
+        .union(ground)
         .dropDuplicates()
     )
     return CanonResult(labelled, labels, metrics)
+
+
+# ---------------------------------------------------------------------------
+# per-graph kernel canonicalizer — the reference's per-document execution
+# shape (RunNQuadsTest.java:257-451): each graph is labelled whole by the
+# golden-tested local kernel inside one Arrow-batched applyInPandas group.
+# Used for hash families wider than 16 bytes (sha1/sha256/sha512, which do
+# not fit the int64-pair fixpoint representation) and available as a
+# general fallback; graphs are embarrassingly parallel across the cluster
+# but each graph must fit a single task.
+# ---------------------------------------------------------------------------
+
+def canonicalize_by_graph(spark: SparkSession, triples: DataFrame, *,
+                          hash_name: str = "md5", dip: bool = True,
+                          upg: bool = True) -> CanonResult:
+    out_schema = ("graph_id string, kind string, a string, b string, "
+                  "c string")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from blabel_spark.canon.local import label_graph
+        g = pdf["graph_id"].iloc[0]
+        trips = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
+        res = label_graph(trips, dip=dip, upg=upg, hash_name=hash_name)
+        rows = [(g, "t", s, p, o) for s, p, o in res.graph]
+        rows += [(g, "l", n, "_:SK00" + c.hex(), "")
+                 for n, c in sorted(res.colors.items())]
+        return pd.DataFrame(rows,
+                            columns=["graph_id", "kind", "a", "b", "c"])
+
+    out = (triples.select(*TRIPLE_COLS).dropDuplicates()
+           .groupBy("graph_id").applyInPandas(run, out_schema)
+           ).localCheckpoint(True)
+    labelled = (out.where(F.col("kind") == "t")
+                .select("graph_id", F.col("a").alias("subj"),
+                        F.col("b").alias("pred"), F.col("c").alias("obj")))
+    labels = (out.where(F.col("kind") == "l")
+              .select("graph_id", F.col("a").alias("bnode"),
+                      F.col("b").alias("label")))
+    return CanonResult(labelled, labels,
+                       {"mode": "by_graph", "hash_name": hash_name})

@@ -33,8 +33,10 @@ from blabel_spark.hashing import (
     BLANK_HASH,
     MINUS,
     PLUS,
+    HashFamily,
     combine_ordered,
     combine_unordered,
+    get_hash_family,
     hash_int,
     hash_string,
 )
@@ -81,11 +83,12 @@ def label_triples(triples: list[Triple], colors: dict[str, bytes]) -> tuple[Trip
 
 
 def graph_hash(triples: list[Triple], colors: dict[str, bytes],
-               static: dict[str, bytes]) -> bytes:
+               static: dict[str, bytes],
+               blank: bytes = BLANK_HASH) -> bytes:
     """Order-insensitive whole-graph hash (HashGraph.getGraphHash,
     HashGraph.java:165-181): fold per-triple combineOrdered(h(s),h(p),h(o))
     into a running combineUnordered starting from the blank hash."""
-    b = BLANK_HASH
+    b = blank
     for s, p, o in triples:
         hs = colors[s] if is_bnode(s) else static[s]
         ho = colors[o] if is_bnode(o) else static[o]
@@ -94,9 +97,10 @@ def graph_hash(triples: list[Triple], colors: dict[str, bytes],
     return b
 
 
-def ground_subgraph_hash(triples: list[Triple], static: dict[str, bytes]) -> bytes:
+def ground_subgraph_hash(triples: list[Triple], static: dict[str, bytes],
+                         blank: bytes = BLANK_HASH) -> bytes:
     """HashGraph.getGroundSubGraphHash (HashGraph.java:203-221)."""
-    b = BLANK_HASH
+    b = blank
     for s, p, o in triples:
         if not is_bnode(s) and not is_bnode(o):
             t = combine_ordered((static[s], static[p], static[o]))
@@ -123,6 +127,10 @@ class _Colouring:
     leaves: dict[tuple[Triple, ...], list["_Colouring"]]  # shared
     colour_iters: list[int]               # shared
     prune: bool = True
+    # term-hash family (-s selection, LabelRDFGraph.java:150-161); md5 is
+    # the reference default and the golden-tested fast path
+    hf: "HashFamily" = field(
+        default_factory=lambda: get_hash_family("md5"))
     leaf_budget: list[int] = field(default_factory=lambda: [MAX_LEAVES])
     # ordered refinement: list of sorted node tuples (RefinablePartition)
     rfp: list[tuple[str, ...]] = field(default_factory=list)
@@ -145,11 +153,11 @@ class _Colouring:
                 if is_bnode(s):
                     other = self.colors[o] if is_bnode(o) else self.static[o]
                     edge_hashes.setdefault(s, []).append(
-                        combine_ordered((other, hp, PLUS)))
+                        combine_ordered((other, hp, self.hf.plus)))
                 if is_bnode(o):
                     other = self.colors[s] if is_bnode(s) else self.static[s]
                     edge_hashes.setdefault(o, []).append(
-                        combine_ordered((other, hp, MINUS)))
+                        combine_ordered((other, hp, self.hf.minus)))
 
             # A1: per-bnode aggregation — append own previous colour, sort
             # (hex order == bytes order), combineOrdered-fold
@@ -180,7 +188,7 @@ class _Colouring:
                     for n in ns:
                         next_hashes[n] = combine_ordered((
                             next_hashes[n], self.colors[n],
-                            hash_int(old_rank[self.colors[n]])))
+                            self.hf.hash_int(old_rank[self.colors[n]])))
                 if collided:
                     new_part = _invert(next_hashes)
                 i += 1
@@ -256,12 +264,13 @@ class _Colouring:
                 branch_colors = dict(self.colors)
                 # distinguish n (GraphColouring.java:229-233)
                 branch_colors[n] = combine_ordered(
-                    (branch_colors[n], BLANK_HASH))
+                    (branch_colors[n], self.hf.blank))
                 child = _Colouring(
                     triples=self.triples, static=self.static,
                     colors=branch_colors, path=self.path + [n],
                     leaves=self.leaves, colour_iters=self.colour_iters,
-                    prune=self.prune, leaf_budget=self.leaf_budget)
+                    prune=self.prune, hf=self.hf,
+                    leaf_budget=self.leaf_budget)
                 child.execute()
                 visited.append(n)
             break  # only the first non-trivial class (GraphColouring.java:250)
@@ -400,14 +409,15 @@ def _canonical_component(col: _Colouring, mux: bytes) -> tuple[
     colour of that leaf's colouring, relabel."""
     best_graph = min(col.leaves, key=graph_sort_key)
     gc = col.leaves[best_graph][0]
-    ghc = graph_hash(gc.triples, gc.colors, gc.static)
+    ghc = graph_hash(gc.triples, gc.colors, gc.static, blank=col.hf.blank)
     comb = combine_ordered((ghc, mux))
     muxed = {n: combine_ordered((c, comb)) for n, c in gc.colors.items()}
     return label_triples(gc.triples, muxed), muxed, comb
 
 
 def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
-                prune: bool = True) -> LabellingResult:
+                prune: bool = True,
+                hash_name: str = "md5") -> LabellingResult:
     """Canonically label one RDF graph (GraphLabelling.call, GL:61-192).
 
     dip: distinguish isomorphic components by muxing a duplicate counter.
@@ -419,6 +429,7 @@ def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
     hashes and shift every label (the distributed engine dedupes its
     input identically).
     """
+    hf = get_hash_family(hash_name)
     triples = sorted(set(triples))
     static: dict[str, bytes] = {}
     all_bnodes: set[str] = set()
@@ -429,7 +440,7 @@ def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
                     raise ValueError("blank node in predicate position")
                 all_bnodes.add(term)
             elif term not in static:
-                static[term] = hash_string(term)
+                static[term] = hf.hash_string(term)
 
     comps = blank_node_components(triples)
 
@@ -445,15 +456,16 @@ def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
 
     for pivot in sorted(comps):
         ctriples = comps[pivot]
-        colors = {n: BLANK_HASH
+        colors = {n: hf.blank
                   for t in ctriples for n in (t[0], t[2]) if is_bnode(n)}
         col = _Colouring(triples=ctriples, static=static, colors=colors,
-                         path=[], leaves={}, colour_iters=[], prune=prune)
+                         path=[], leaves={}, colour_iters=[], prune=prune,
+                         hf=hf)
         col.execute()
         total_iters += sum(col.colour_iters)
         total_leaves += sum(len(v) for v in col.leaves.values())
 
-        mapped, comp_colors, comb = _canonical_component(col, hash_int(0))
+        mapped, comp_colors, comb = _canonical_component(col, hf.hash_int(0))
         count = graphs_seen.get(mapped)
         if count is None:
             graphs_seen[mapped] = 1
@@ -463,7 +475,7 @@ def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
             graphs_seen[mapped] = count + 1
             if dip:
                 mapped, comp_colors, comb = _canonical_component(
-                    col, hash_int(count + 1))
+                    col, hf.hash_int(count + 1))
                 hashes.append(comb)
                 unique_bnodes += len(comp_colors)
         full_graph.update(mapped)
@@ -472,7 +484,7 @@ def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
     ghash: bytes | None = None
     if upg:
         # mux a unique graph-level hash into every bnode (GL:137-150)
-        ground = ground_subgraph_hash(triples, static)
+        ground = ground_subgraph_hash(triples, static, blank=hf.blank)
         ghash = combine_unordered(hashes + [ground])
         final_colors = {n: combine_ordered((c, ghash))
                         for n, c in final_colors.items()}

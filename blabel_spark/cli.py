@@ -9,6 +9,10 @@ counterpart of ``java -jar blabel.jar LabelRDFGraph -i g.nt -o out.nt
   --iri             render labels as IRIs instead of bnodes     (!-b)
   --no-dip          do not distinguish isomorphic partitions    (-ddp)
   --no-upg          per-partition instead of per-graph muxing   (-upp)
+  -s/--hash NAME    term-hash family: md5 (default) | murmur3_128 |
+                    sha1 | sha256 | sha512                      (-s)
+                    (16-byte families run the distributed fixpoint;
+                    wider ones run the per-graph kernel path)
 
 Output is a directory of N-Triples part files (a distributed engine writes
 partitioned output; ``--single`` coalesces to one part).
@@ -31,9 +35,29 @@ def main(argv: list[str] | None = None) -> int:
     lab.add_argument("--iri", action="store_true")
     lab.add_argument("--no-dip", action="store_true")
     lab.add_argument("--no-upg", action="store_true")
+    lab.add_argument("-s", "--hash", default="md5",
+                     choices=["md5", "murmur3_128", "sha1", "sha256",
+                              "sha512"])
     lab.add_argument("--single", action="store_true")
     lab.add_argument("--cpus", type=int, default=None)
+    ana = sub.add_parser(
+        "analyse", help="aggregate a bench TSV into corpus stats "
+        "(AnalyseNQuadsResults counterpart)")
+    ana.add_argument("-i", "--input", required=True, help="bench TSV")
+    ana.add_argument("-o", "--output", required=True, help="output dir")
+    ana.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "analyse":
+        from blabel_spark.ops.analyse import analyse_run, read_bench_tsv
+        from blabel_spark.spark_util import get_spark
+        spark = get_spark("blabel-analyse", cpus=args.cpus)
+        rep = analyse_run(read_bench_tsv(spark, args.input))
+        for name, df in rep.items():
+            df.coalesce(1).write.mode("overwrite") \
+              .option("header", True).csv(f"{args.output}/{name}")
+        print(f"wrote {sorted(rep)} to {args.output}", file=sys.stderr)
+        return 0
 
     from pyspark.sql import functions as F
 
@@ -49,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         triples, _witness = lean_graphs(spark, triples)
 
     res = canonicalize(spark, triples, dip=not args.no_dip,
-                       upg=not args.no_upg)
+                       upg=not args.no_upg, hash_name=args.hash)
     out = res.labelled
     if args.prefix or args.iri:
         # GraphLabelIterator semantics (label/util/GraphLabelIterator.java)

@@ -55,6 +55,131 @@ def hash_int(i: int) -> bytes:
     return md5_bytes((i & 0xFFFFFFFF).to_bytes(4, "little"))
 
 
+# ---------------------------------------------------------------------------
+# Hash-family selection (F2): the reference CLI picks the term hash with -s
+# (md5 | murmur3_128 | sha1 | sha256 | sha512, LabelRDFGraph.java:150-161);
+# murmur3_128 is its recommended fastest (RunNQuadsTest.java:95).  The
+# combineOrdered/Unordered folds are length-generic byte arithmetic, so
+# only the term-hash primitive and digest width vary per family.
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_128(data: bytes, seed: int = 0) -> bytes:
+    """MurmurHash3 x64 128-bit (Austin Appleby's public-domain algorithm),
+    byte-compatible with Guava's Hashing.murmur3_128(): digest is
+    little-endian h1 then h2 (verified against Spark's shaded Guava in
+    tests/test_hash_families.py)."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed
+    length = len(data)
+    nblocks = length // 16
+    for i in range(nblocks):
+        o = i * 16
+        k1 = int.from_bytes(data[o:o + 8], "little")
+        k2 = int.from_bytes(data[o + 8:o + 16], "little")
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[nblocks * 16:]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+
+
+class HashFamily:
+    """Term-hash primitives for one -s selection; digest width in
+    ``n_bytes`` (the md5/murmur3_128 16-byte families are compatible with
+    the distributed int64-pair representation; sha1/sha256/sha512 run
+    through the per-graph kernel path)."""
+
+    def __init__(self, name: str, fn, n_bytes: int):
+        self.name = name
+        self._fn = fn
+        self.n_bytes = n_bytes
+        self.blank = self.hash_string("")
+        self.plus = self.hash_unencoded_chars("+")
+        self.minus = self.hash_unencoded_chars("-")
+
+    def raw(self, data: bytes) -> bytes:
+        return self._fn(data)
+
+    def hash_string(self, s: str) -> bytes:
+        return self._fn(s.encode("utf-8"))
+
+    def hash_unencoded_chars(self, s: str) -> bytes:
+        return self._fn(s.encode("utf-16-le"))
+
+    def hash_int(self, i: int) -> bytes:
+        return self._fn((i & 0xFFFFFFFF).to_bytes(4, "little"))
+
+
+HASH_FAMILIES = {
+    "md5": lambda: HashFamily(
+        "md5", lambda b: hashlib.md5(b).digest(), 16),
+    "murmur3_128": lambda: HashFamily("murmur3_128", murmur3_128, 16),
+    "sha1": lambda: HashFamily(
+        "sha1", lambda b: hashlib.sha1(b).digest(), 20),
+    "sha256": lambda: HashFamily(
+        "sha256", lambda b: hashlib.sha256(b).digest(), 32),
+    "sha512": lambda: HashFamily(
+        "sha512", lambda b: hashlib.sha512(b).digest(), 64),
+}
+
+
+def get_hash_family(name: str) -> HashFamily:
+    try:
+        return HASH_FAMILIES[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown hash family {name!r}; choose from "
+            f"{sorted(HASH_FAMILIES)}") from None
+
+
 # Initial colour of every blank node: hash of the empty string
 # (HashGraph.java:47,64-66).
 BLANK_HASH: bytes = hash_string("")
@@ -64,27 +189,30 @@ MINUS: bytes = hash_unencoded_chars("-")   # marks an object-position bnode
 
 
 def combine_ordered(hashes: Iterable[bytes]) -> bytes:
-    """Order-sensitive per-byte fold: r[i] = (r[i]*37) ^ h[i]."""
-    r = bytearray(HASH_BYTES)
-    seen = False
+    """Order-sensitive per-byte fold: r[i] = (r[i]*37) ^ h[i].
+    Length-generic — the fold width follows the input digests (Guava
+    combineOrdered works for any HashCode bit width)."""
+    r = None
     for h in hashes:
-        seen = True
-        for i in range(HASH_BYTES):
+        if r is None:
+            r = bytearray(len(h))
+        for i in range(len(r)):
             r[i] = ((r[i] * 37) ^ h[i]) & 0xFF
-    if not seen:
+    if r is None:
         raise ValueError("combine_ordered needs at least one hash")
     return bytes(r)
 
 
 def combine_unordered(hashes: Iterable[bytes]) -> bytes:
-    """Order-insensitive per-byte fold: r[i] = (r[i] + h[i]) mod 256."""
-    r = bytearray(HASH_BYTES)
-    seen = False
+    """Order-insensitive per-byte fold: r[i] = (r[i] + h[i]) mod 256.
+    Length-generic like combine_ordered."""
+    r = None
     for h in hashes:
-        seen = True
-        for i in range(HASH_BYTES):
+        if r is None:
+            r = bytearray(len(h))
+        for i in range(len(r)):
             r[i] = (r[i] + h[i]) & 0xFF
-    if not seen:
+    if r is None:
         raise ValueError("combine_unordered needs at least one hash")
     return bytes(r)
 

@@ -50,29 +50,90 @@ def brute_force_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
 
 
-def sign_lsh_buckets(emb: DataFrame, n_bits: int = 8,
+def projection_matrix(dim: int, n_bits: int, seed: int = 42):
+    """Seeded Gaussian random hyperplanes (n_bits × dim) — deterministic
+    across runs/executors.  Gaussian directions are the textbook
+    sign-LSH for cosine similarity: P[sign differs] = angle/π for every
+    vector pair regardless of the data's coordinate alignment (coordinate
+    -axis 'hyperplanes' skew badly on correlated embedding dims)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _proj_bit(vec: Column, w) -> Column:
+    arr = F.array(*[F.lit(float(x)) for x in w])
+    d = _dot(F.transform(vec, lambda x: x.cast("double")), arr)
+    return F.when(d >= 0, "1").otherwise("0")
+
+
+def sign_lsh_buckets(emb: DataFrame, n_bits: int = 8, dim: int = 64,
+                     seed: int = 42,
                      vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, bucket) where bucket = sign pattern of the first n_bits
-    dimensions — a degenerate but deterministic random-hyperplane LSH
-    (the hyperplanes are the coordinate axes)."""
-    bits = [F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1")
-            .otherwise("0") for i in range(n_bits)]
+    """(vec_id, label, bucket): bucket = sign pattern of the vector
+    against n_bits seeded Gaussian hyperplanes — pure codegen (the
+    projection weights are array literals), no shuffle."""
+    W = projection_matrix(dim, n_bits, seed)
+    bits = [_proj_bit(F.col(vec_col), W[i]) for i in range(n_bits)]
     return emb.select("vec_id", "label",
                       F.concat(*bits).alias("bucket"))
 
 
 def lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
-             n_bits: int = 8, vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: score only vectors sharing the query's LSH bucket."""
-    buckets = sign_lsh_buckets(emb, n_bits, vec_col)
+             n_bits: int = 8, dim: int = 64, seed: int = 42,
+             multiprobe: int = 1,
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: score only vectors in the query's bucket, plus all
+    Hamming-≤``multiprobe`` neighbour buckets (multi-probe recovers the
+    recall a single bucket loses to boundary effects while still scanning
+    only (1 + n_bits·multiprobe)/2^n_bits of the data)."""
+    buckets = sign_lsh_buckets(emb, n_bits, dim, seed, vec_col)
     with_b = emb.join(buckets.select("vec_id", "bucket"), "vec_id")
-    qb = with_b.where(F.col("vec_id") == query_vec_id) \
-               .select(F.col("bucket").alias("qbucket"),
-                       F.col(vec_col).alias("qvec"))
-    cand = (with_b.where(F.col("vec_id") != query_vec_id)
-            .join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")))
+    qrow = with_b.where(F.col("vec_id") == query_vec_id) \
+                 .select("bucket", vec_col).collect()[0]
+    qbucket, qvec = qrow["bucket"], qrow[vec_col]
+    probes = {qbucket}
+    if multiprobe >= 1:
+        for i in range(n_bits):
+            flipped = qbucket[:i] + ("0" if qbucket[i] == "1" else "1") \
+                + qbucket[i + 1:]
+            probes.add(flipped)
+    qvec_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    cand = with_b.where(F.col("vec_id") != query_vec_id) \
+                 .where(F.col("bucket").isin(sorted(probes)))
     return (cand.select("vec_id", "label",
-                        F.round(cosine(F.col(vec_col), F.col("qvec")), 4)
+                        F.round(cosine(F.col(vec_col), qvec_lit), 4)
+                        .alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("vec_id")).limit(k))
+
+
+def multitable_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
+                        n_bits: int = 6, n_tables: int = 6, seed: int = 42,
+                        vec_col: str = "embedding",
+                        dim: int = 64) -> DataFrame:
+    """ANN top-k with OR-amplification: L independent hash tables (each
+    its own seeded Gaussian hyperplane set); a vector is a candidate if it
+    shares the query's bucket in ANY table.  Per-table miss rates multiply
+    (recall = 1-(1-p^bits)^L), so recall scales with L while the scanned
+    fraction stays ≈ L/2^bits on spread data.  One pass computes all L
+    bucket columns (pure codegen); the candidate filter is an OR of L
+    equality tests against broadcast scalars — no join, no shuffle before
+    the final top-k."""
+    tables = []
+    for t in range(n_tables):
+        W = projection_matrix(dim, n_bits, seed + t)
+        bits = [_proj_bit(F.col(vec_col), W[i]) for i in range(n_bits)]
+        tables.append(F.concat(*bits).alias(f"b{t}"))
+    with_b = emb.select("vec_id", "label", vec_col, *tables)
+    qrow = with_b.where(F.col("vec_id") == query_vec_id).collect()[0]
+    cond = None
+    for t in range(n_tables):
+        c = F.col(f"b{t}") == qrow[f"b{t}"]
+        cond = c if cond is None else (cond | c)
+    qvec_lit = F.array(*[F.lit(float(x)) for x in qrow[vec_col]])
+    cand = with_b.where(F.col("vec_id") != query_vec_id).where(cond)
+    return (cand.select("vec_id", "label",
+                        F.round(cosine(F.col(vec_col), qvec_lit), 4)
                         .alias("sim"))
             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(k))
 

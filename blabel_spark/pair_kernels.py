@@ -109,21 +109,53 @@ def combine2_pairs_udf(a0: pd.Series, a1: pd.Series, b0: pd.Series,
     return pd.DataFrame({"h0": h0, "h1": h1})
 
 
-@F.pandas_udf(PAIR)
-def hash_int_pair_udf(i: pd.Series) -> pd.DataFrame:
-    """Guava hashInt as a stored pair (md5 of 4 little-endian bytes)."""
-    import hashlib
-    from blabel_spark.hashing import enc_pair
-    pairs = [enc_pair(hashlib.md5(
-        (int(v) & 0xFFFFFFFF).to_bytes(4, "little")).digest()) for v in i]
-    return pd.DataFrame(pairs, columns=["h0", "h1"])
+def hash_int_pair_udf_for(hash_name: str):
+    """Guava hashInt as a stored pair, for any 16-byte hash family."""
+    @F.pandas_udf(PAIR)
+    def f(i: pd.Series) -> pd.DataFrame:
+        from blabel_spark.hashing import enc_pair, get_hash_family
+        hf = get_hash_family(hash_name)
+        pairs = [enc_pair(hf.hash_int(int(v))) for v in i]
+        return pd.DataFrame(pairs, columns=["h0", "h1"])
+    return f
 
 
-@F.pandas_udf(PAIR)
+hash_int_pair_udf = hash_int_pair_udf_for("md5")
+
+
+def term_pair_exprs(hash_name: str):
+    """Column expression factory: term string → stored (h0, h1) pair.
+
+    md5 stays the pure-codegen JVM fast path; other 16-byte families
+    (murmur3_128) hash in an Arrow-batched pandas UDF — slower per row but
+    embarrassingly parallel, and only static term hashing pays it."""
+    if hash_name == "md5":
+        return md5_pair
+
+    @F.pandas_udf(PAIR)
+    def f(s: pd.Series) -> pd.DataFrame:
+        from blabel_spark.hashing import enc_pair, get_hash_family
+        hf = get_hash_family(hash_name)
+        pairs = [enc_pair(hf.hash_string(x)) for x in s]
+        return pd.DataFrame(pairs, columns=["h0", "h1"])
+
+    def pair(col: Column) -> tuple[Column, Column]:
+        p = f(col)
+        return p.getField("h0"), p.getField("h1")
+    return pair
+
+
+PAIR_PREV = StructType(PAIR.fields + [StructField("oh0", LongType()),
+                                      StructField("oh1", LongType())])
+
+
+@F.pandas_udf(PAIR_PREV)
 def fold_pair_array_udf(lists: pd.Series) -> pd.DataFrame:
-    """combineOrdered-fold a pre-sorted array<struct<h0,h1>> column — the
-    legacy/salted aggregation path (array elements arrive as dicts)."""
-    out0, out1 = [], []
+    """combineOrdered-fold a pre-sorted array<struct<h0,h1,is_prev>>
+    column — the salted aggregation path (array elements arrive as
+    dicts).  Also passes through the tagged previous colour (oh) for the
+    driver's refinement audit."""
+    out0, out1, po0, po1 = [], [], [], []
     for lst in lists:
         h0 = np.fromiter((e["h0"] for e in lst), np.int64, len(lst))
         h1 = np.fromiter((e["h1"] for e in lst), np.int64, len(lst))
@@ -134,32 +166,45 @@ def fold_pair_array_udf(lists: pd.Series) -> pd.DataFrame:
         p0, p1 = lanes_to_pairs(r)
         out0.append(int(p0[0]))
         out1.append(int(p1[0]))
-    return pd.DataFrame({"h0": out0, "h1": out1})
+        prev = next(e for e in lst if e["is_prev"])
+        po0.append(int(prev["h0"]))
+        po1.append(int(prev["h1"]))
+    return pd.DataFrame({"h0": out0, "h1": out1, "oh0": po0, "oh1": po1})
 
 
 # ---------------------------------------------------------------------------
 # A1: repartition + sortWithinPartitions + segmented numpy fold
 # ---------------------------------------------------------------------------
 
-_KEY = ["graph_id", "comp", "bnode"]
-_FOLD_SCHEMA = ("graph_id string, comp string, bnode string, "
-                "h0 long, h1 long")
+_KEY = ["ck0", "ck1", "bk0", "bk1"]
+_FOLD_SCHEMA = ("ck0 long, ck1 long, bk0 long, bk1 long, "
+                "h0 long, h1 long, oh0 long, oh1 long")
 
 
 def _fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     buf: pd.DataFrame | None = None
 
     def emit(pdf: pd.DataFrame, seg_start: np.ndarray) -> pd.DataFrame:
-        lanes = pairs_to_lanes(_np(pdf["m0"]), _np(pdf["m1"]))
+        m0, m1 = _np(pdf["m0"]), _np(pdf["m1"])
+        lanes = pairs_to_lanes(m0, m1)
         folded = segmented_fold_ordered(seg_start, lanes)
         h0, h1 = lanes_to_pairs(folded)
         starts = np.flatnonzero(seg_start)
-        return pd.DataFrame({
-            "graph_id": pdf["graph_id"].to_numpy()[starts],
-            "comp": pdf["comp"].to_numpy()[starts],
-            "bnode": pdf["bnode"].to_numpy()[starts],
-            "h0": h0, "h1": h1,
-        })
+        out = {k: pdf[k].to_numpy()[starts] for k in _KEY}
+        out["h0"] = h0
+        out["h1"] = h1
+        # previous colour passthrough (exactly one tagged row per segment):
+        # lets the driver verify each round REFINES the partition without
+        # re-joining the previous state
+        seg_id = np.cumsum(seg_start) - 1
+        prev = pdf["is_prev"].to_numpy(dtype=bool)
+        oh0 = np.zeros(len(starts), dtype=np.int64)
+        oh1 = np.zeros(len(starts), dtype=np.int64)
+        oh0[seg_id[prev]] = m0[prev]
+        oh1[seg_id[prev]] = m1[prev]
+        out["oh0"] = oh0
+        out["oh1"] = oh1
+        return pd.DataFrame(out)
 
     def seg_starts(pdf: pd.DataFrame) -> np.ndarray:
         n = len(pdf)
@@ -219,7 +264,8 @@ def unordered_sum_pairs(df: DataFrame, keys: list[str], h0: str, h1: str,
     ``extra_init`` seeds every group (the reference's blank-hash seed,
     HashGraph.java:166)."""
     lane_cols = [f"_l{i}" for i in range(16)]
-    schema = ", ".join(f"{k} string" for k in keys) + ", " + \
+    ktypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(f"{k} {ktypes[k]}" for k in keys) + ", " + \
         ", ".join(f"{c} long" for c in lane_cols)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -915,22 +915,36 @@ def q_lsh_bucket_stats(spark, sf):
     return bucket_stats(load(spark, sf, "embeddings"), n_bits=6)
 
 
-SQL_BUCKET_STATS = """
-SELECT concat(
-         CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket,
+def _sql_bucket_stats() -> str:
+    """Twin of ops.similarity.sign_lsh_buckets: the same seeded Gaussian
+    hyperplanes as DuckDB literal arrays."""
+    from blabel_spark.ops.similarity import projection_matrix
+    W = projection_matrix(dim=64, n_bits=6, seed=42)
+    bits = []
+    for i in range(6):
+        arr = "[" + ", ".join(repr(float(x)) for x in W[i]) + "]"
+        bits.append(
+            "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{arr}) >= 0 THEN '1' ELSE '0' END")
+    return f"""
+SELECT concat({', '.join(bits)}) AS bucket,
        count(*) AS n_vecs, count(DISTINCT label) AS n_labels
 FROM embeddings GROUP BY 1
 """
 
 
+SQL_BUCKET_STATS = _sql_bucket_stats()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+
+# oracles whose expected values are precomputed at the driver's gate scale
+# (sf0.01, tools/gen_flagship_oracles.py); at any other sf the local
+# harness degrades them to a rows-run-only check
+SF_PINNED_ORACLES = {"canonical_label_values", "lean_graphs",
+                     "transcript_kg_pipeline"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # blabel core (SURVEY §2)

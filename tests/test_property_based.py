@@ -22,24 +22,22 @@ _PREDS = ["<p>", "<q>"]
 _node = st.sampled_from(_BNODES + _GROUND)
 _pred = st.sampled_from(_PREDS)
 _triple = st.tuples(_node, _pred, _node)
-# RDF graphs are SETS of triples.  The engine is faithful to the
-# reference's duplicate handling (HashGraph keeps an ArrayList, so a
-# duplicated input triple is folded twice into the graph hash —
-# HashGraph.java:165-181), which makes idempotence hold only modulo the
-# initial dedup; Hypothesis found exactly that with a doubled self-loop.
-# Properties therefore quantify over set-unique inputs, and
-# test_duplicate_input_quirk pins the duplicate behaviour explicitly.
+# RDF graphs are SETS of triples: label_graph normalizes its input to a
+# set first (the distributed engine dedupes identically), so duplicated
+# input rows can never shift the unordered graph/upg hashes and
+# idempotence holds unconditionally.  test_duplicate_input_set_semantics
+# pins that behaviour explicitly.
 _graph = st.lists(_triple, min_size=1, max_size=12, unique=True).map(list)
 
 
-def test_duplicate_input_quirk():
+def test_duplicate_input_set_semantics():
     dup = [("_:b0", "<p>", "_:b0"), ("_:b0", "<p>", "_:b0")]
     once = label_graph(dup)
     assert len(once.graph) == 1  # output is a set (TreeSet semantics)
-    # the duplicate influenced the upg graph hash, as in the reference
     assert label_graph(dup).graph == once.graph  # deterministic
-    assert label_graph(dup[:1]).graph != once.graph
-    # and re-labelling the (deduped) output IS a fixpoint
+    # duplicates are invisible: same labels as the deduplicated input
+    assert label_graph(dup[:1]).graph == once.graph
+    # re-labelling the output is a fixpoint
     assert label_graph(list(once.graph)).graph == \
         label_graph(list(label_graph(list(once.graph)).graph)).graph
 

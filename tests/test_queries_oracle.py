@@ -11,10 +11,8 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_every_query_has_registry_consistency():
-    assert set(ORACLES) <= set(QUERIES)
-    # the only intentionally oracle-less entries
-    assert set(QUERIES) - set(ORACLES) == {
-        "canonical_labels", "lean_graphs", "transcript_kg_pipeline"}
+    # every registered query has a driver-checkable oracle
+    assert set(ORACLES) == set(QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
