@@ -338,7 +338,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                  dip: bool = True, upg: bool = True,
                  hash_name: str = "md5",
                  max_iterations: int = 64,
-                 salt_buckets: int = 0,
+                 salt_buckets: int | str = "auto",
                  checkpoint_dir: str | None = None,
                  checkpoint_every: int = 5) -> CanonResult:
     """Canonically label blank nodes of every graph in ``triples``.
@@ -392,6 +392,22 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     static_msgs, bb_edges = _edge_views(btri, plus_pair, minus_pair)
     static_msgs = static_msgs.localCheckpoint(True)
     bb_edges = bb_edges.localCheckpoint(True)
+
+    if salt_buckets == "auto":
+        # hub probe: a bnode's per-round fold size == its message count.
+        # One cheap aggregation over the (checkpointed) edge views decides
+        # whether the salted two-stage fold is worth its extra shuffle —
+        # degree-skewed hub entities are exactly the north_rule's "salted
+        # repartitioning" case, and the decision must not rely on a human
+        # noticing the skew.
+        deg = (static_msgs.select("bk0", "bk1")
+               .union(bb_edges.select("bk0", "bk1"))
+               .groupBy("bk0", "bk1").agg(F.count("*").alias("n"))
+               .agg(F.max("n").alias("m")).collect()[0]["m"]) or 0
+        metrics["max_bnode_degree"] = int(deg)
+        salt_buckets = 0 if deg < (1 << 17) else \
+            min(256, int(deg) >> 15)
+    metrics["salt_buckets"] = int(salt_buckets)
 
     CK = ["ck0", "ck1"]
     if restored is not None:

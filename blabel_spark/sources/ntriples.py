@@ -39,17 +39,33 @@ def read_ntriples(spark: SparkSession, path: str,
         F.regexp_extract("value", LINE_PATTERN, 3).alias("obj"),
         F.regexp_extract("value", LINE_PATTERN, 4).alias("ctx"),
     )
+    # unwrap the sink's <graph:…> context wrapper (format_ntriples) so a
+    # write→read round-trip is the identity on graph ids
+    ctx = F.when(F.col("ctx").rlike("^<graph:.*>$"),
+                 F.regexp_extract("ctx", "^<graph:(.*)>$", 1)) \
+           .otherwise(F.col("ctx"))
     return (parsed.where(F.col("subj") != "")
             .select(F.when(F.col("ctx") == "", default_graph)
-                    .otherwise(F.col("ctx")).alias("graph_id"),
+                    .otherwise(ctx).alias("graph_id"),
                     "subj", "pred", "obj"))
 
 
 def format_ntriples(triples: DataFrame, quads: bool = False) -> DataFrame:
     """(graph_id, subj, pred, obj) → one-column text DF of N-Triples (or
-    N-Quads with the graph id as 4th position)."""
+    N-Quads with the graph id as 4th position).
+
+    Quad contexts must be RDF terms for a strict N-Quads consumer (the
+    reference's NxParser): graph ids that are already IRIs or bnodes pass
+    through verbatim; anything else (this reader's ``default``, transcript
+    conv ids) is wrapped as ``<graph:…>`` so the output round-trips
+    through strict parsers, not just this module's permissive reader."""
     if quads:
-        line = F.concat_ws(" ", "subj", "pred", "obj", "graph_id")
+        is_term = (F.col("graph_id").startswith("<")
+                   & F.col("graph_id").endswith(">")) \
+            | F.col("graph_id").startswith("_:")
+        ctx = F.when(is_term, F.col("graph_id")).otherwise(
+            F.concat(F.lit("<graph:"), F.col("graph_id"), F.lit(">")))
+        line = F.concat_ws(" ", "subj", "pred", "obj", ctx)
     else:
         line = F.concat_ws(" ", "subj", "pred", "obj")
     return triples.select(F.concat(line, F.lit(" .")).alias("value"))

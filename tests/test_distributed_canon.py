@@ -156,3 +156,20 @@ print("HASH:" + hashlib.md5(str(out).encode()).hexdigest())
         assert lines, r.stderr[-800:]
         hashes.append(lines[0])
     assert hashes[0] == hashes[1]
+
+
+def test_auto_salting_hub_graph(spark):
+    """Skew probe: a single bnode with 1.3e5 edges must auto-engage the
+    salted two-stage fold AND still match the local oracle bit-exactly."""
+    from blabel_spark.canon.distributed import canonicalize
+    n = 131_200
+    rows = [("g", "_:hub", "<p>", f"<o{i}>") for i in range(n)]
+    rows += [("g", "_:hub", "<q>", "_:tail"), ("g", "_:tail", "<q>", "<z>")]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    res = canonicalize(spark, df)
+    assert res.metrics["max_bnode_degree"] >= n
+    assert res.metrics["salt_buckets"] >= 2, res.metrics
+    out = {(r.subj, r.pred, r.obj) for r in res.labelled.collect()}
+    trips = [(s, p, o) for _, s, p, o in rows]
+    assert out == set(label_graph(trips).graph)

@@ -129,3 +129,43 @@ def test_distributed_lean_matches_local(spark):
         res = lean_graph(trips)
         assert got.get(name, set()) == set(res.lean), name
         assert wit.get(name, {}) == res.core_map, name
+
+
+def test_bfs_fallback_for_over_budget_graphs(spark):
+    """A kernel-budget-exceeded graph must be leaned by the distributed
+    BFS join-chain solver instead of passing through unleaned
+    (BFSGraphLeaning.java:82-137).  C6 ∪ C3 directed cycles: the core is
+    C3 (C6 folds onto it); with a tiny DFS budget the kernel gives up and
+    the BFS path must still find the core."""
+    from blabel_spark.lean.distributed import lean_graphs
+    c6 = [(f"_:a{i}", "<p>", f"_:a{(i + 1) % 6}") for i in range(6)]
+    c3 = [(f"_:b{i}", "<p>", f"_:b{(i + 1) % 3}") for i in range(3)]
+    easy = [("_:z", "<q>", "<u>"), ("<v>", "<q>", "<u>")]
+    rows = [("hard", s, p, o) for s, p, o in c6 + c3] + \
+           [("easy", s, p, o) for s, p, o in easy]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+
+    # without the fallback the hard graph passes through unleaned
+    lean0, wit0 = lean_graphs(spark, df, bfs_fallback=False,
+                              kernel_budget=10)
+    flagged = wit0.where("bnode = '__budget_exceeded__'").collect()
+    assert {r["graph_id"] for r in flagged} == {"hard"}
+    assert lean0.where("graph_id = 'hard'").count() == 9
+
+    # with the fallback it leans to the C3 core
+    lean1, wit1 = lean_graphs(spark, df, bfs_fallback=True,
+                              kernel_budget=10)
+    assert wit1.where("bnode = '__budget_exceeded__'").count() == 0
+    hard = {(r["subj"], r["pred"], r["obj"])
+            for r in lean1.where("graph_id = 'hard'").collect()}
+    oracle = set(lean_graph(c6 + c3).lean)
+    assert set(label_graph(sorted(hard)).graph) == \
+        set(label_graph(sorted(oracle)).graph)
+    assert len(hard) == 3
+    # untouched easy graph still leans through the kernel
+    assert lean1.where("graph_id = 'easy'").count() == 1
+    # witness covers every bnode of the hard graph
+    wit_b = {r["bnode"] for r in
+             wit1.where("graph_id = 'hard'").collect()}
+    assert wit_b == {t[0] for t in c6 + c3}
