@@ -81,45 +81,55 @@ def bnode_components(btri: DataFrame, max_iter: int = 64) -> DataFrame:
     hitting it raises instead of silently returning a split partition
     (components split across fake pivots would give conflicting canonical
     labels downstream)."""
+    ks0, ks1 = _ikey("graph_id", "subj")
+    ko0, ko1 = _ikey("graph_id", "obj")
     nodes = (
-        btri.select("graph_id", F.col("subj").alias("bnode"))
-        .where(is_bnode_col("subj"))
-        .union(btri.select("graph_id", F.col("obj").alias("bnode"))
-               .where(is_bnode_col("obj")))
+        btri.where(is_bnode_col("subj"))
+        .select("graph_id", F.col("subj").alias("bnode"),
+                ks0.alias("k0"), ks1.alias("k1"))
+        .union(btri.where(is_bnode_col("obj"))
+               .select("graph_id", F.col("obj").alias("bnode"),
+                       ko0.alias("k0"), ko1.alias("k1")))
         .distinct()
     )
+    # edges keyed by interned node ids (join/shuffle on fixed-width longs;
+    # the propagated comp label stays the min bnode STRING — the
+    # reference's pivot semantics)
     edges = (
         btri.where(is_bnode_col("subj") & is_bnode_col("obj")
                    & (F.col("subj") != F.col("obj")))
-        .select("graph_id", F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .select(ks0.alias("a0"), ks1.alias("a1"),
+                ko0.alias("b0"), ko1.alias("b1"))
         .distinct()
     )
-    sym = edges.union(edges.select("graph_id", F.col("b").alias("a"),
-                                   F.col("a").alias("b")))
+    sym = edges.union(edges.select(F.col("b0").alias("a0"),
+                                   F.col("b1").alias("a1"),
+                                   F.col("a0").alias("b0"),
+                                   F.col("a1").alias("b1")))
     sym = sym.localCheckpoint(True)
 
     comp = nodes.withColumn("comp", F.col("bnode")).localCheckpoint(True)
+    pk0, pk1 = _ikey("graph_id", "comp")
     for _ in range(max_iter):
         # pointer doubling fused into the propagation join: besides the
         # real (symmetric) edges, every node contributes a virtual edge
         # comp(b) → b, so the min-aggregation sees comp(comp(b)) in the
         # SAME join — one shuffle per round, O(log diameter) rounds
-        pointer = comp.select("graph_id", F.col("comp").alias("a"),
-                              F.col("bnode").alias("b"))
-        compr = comp.select(F.col("graph_id").alias("g"),
-                            F.col("bnode").alias("n"),
+        pointer = comp.select(pk0.alias("a0"), pk1.alias("a1"),
+                              F.col("k0").alias("b0"),
+                              F.col("k1").alias("b1"))
+        compr = comp.select(F.col("k0").alias("n0"), F.col("k1").alias("n1"),
                             F.col("comp").alias("nbr_comp"))
         nbrs = sym.union(pointer)
         nbr_min = (
-            nbrs.join(compr, on=[nbrs.graph_id == compr.g, nbrs.a == compr.n])
-            .select(F.col("g").alias("graph_id"), F.col("b").alias("bnode"),
-                    "nbr_comp")
-            .groupBy("graph_id", "bnode")
+            nbrs.join(compr, on=[nbrs.a0 == compr.n0, nbrs.a1 == compr.n1])
+            .groupBy("b0", "b1")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
         new = (
-            comp.join(nbr_min, ["graph_id", "bnode"], "left")
-            .select("graph_id", "bnode",
+            comp.join(nbr_min, on=[comp.k0 == nbr_min.b0,
+                                   comp.k1 == nbr_min.b1], how="left")
+            .select("graph_id", "bnode", "k0", "k1",
                     F.least("comp", F.coalesce("nbr_comp", "comp"))
                     .alias("comp"),
                     (F.col("comp") != F.least(
@@ -129,7 +139,7 @@ def bnode_components(btri: DataFrame, max_iter: int = 64) -> DataFrame:
         n_changed = new.where("changed").count()
         comp = new.drop("changed")
         if n_changed == 0:
-            return comp
+            return comp.drop("k0", "k1")
     raise RuntimeError(
         f"bnode_components failed to converge in {max_iter} rounds — "
         "input graph pathologically deep or corrupted")

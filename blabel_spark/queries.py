@@ -656,46 +656,50 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
+# word-3-shingle signature CTE shared by the MinHash family oracles —
+# char shingles degenerate to all-pairs on this small-vocabulary corpus
+# (91% of C(n,2) at sf0.1), word shingles keep LSH selective
+SQL_WORD_SIG_CTE = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+  FROM documents
+), allsh AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        FROM words)
+), sig AS (
+  SELECT doc_id,
+         min(md5('s0|' || sh)) AS h0, min(md5('s1|' || sh)) AS h1,
+         min(md5('s2|' || sh)) AS h2, min(md5('s3|' || sh)) AS h3
+  FROM allsh GROUP BY doc_id
+)
+"""
+
+
 def q_minhash(spark, sf):
     from blabel_spark.ops.dedup import minhash_signatures
-    return minhash_signatures(load(spark, sf, "documents"), n_hashes=4, k=5)
+    return minhash_signatures(load(spark, sf, "documents"), n_hashes=4,
+                              k=3, unit="word")
 
 
-def _sql_minhash_col(s: int, k: int = 5) -> str:
-    return (f"(SELECT min(md5('s{s}|' || substr(text, i, {k}))) "
-            f"FROM (SELECT unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i))")
-
-
-SQL_MINHASH = f"""
-SELECT doc_id,
-       {_sql_minhash_col(0)} AS h0,
-       {_sql_minhash_col(1)} AS h1,
-       {_sql_minhash_col(2)} AS h2,
-       {_sql_minhash_col(3)} AS h3
-FROM documents
-"""
+SQL_MINHASH = SQL_WORD_SIG_CTE + "SELECT doc_id, h0, h1, h2, h3 FROM sig"
 
 
 def q_lsh_pairs(spark, sf):
     from blabel_spark.ops.dedup import lsh_candidate_pairs
     return (lsh_candidate_pairs(load(spark, sf, "documents"),
-                                n_hashes=4, k=5, band_chars=2)
+                                n_hashes=4, k=3, band_chars=4, unit="word")
             .groupBy().agg(F.count("*").alias("n_candidate_pairs")))
 
 
-SQL_LSH_PAIRS = f"""
-WITH sig AS (
-  SELECT doc_id,
-         {_sql_minhash_col(0)} AS h0,
-         {_sql_minhash_col(1)} AS h1,
-         {_sql_minhash_col(2)} AS h2,
-         {_sql_minhash_col(3)} AS h3
-  FROM documents
-), bands AS (
-  SELECT doc_id, 0 AS band_id, substr(h0, 1, 2) AS band_key FROM sig
-  UNION ALL SELECT doc_id, 1, substr(h1, 1, 2) FROM sig
-  UNION ALL SELECT doc_id, 2, substr(h2, 1, 2) FROM sig
-  UNION ALL SELECT doc_id, 3, substr(h3, 1, 2) FROM sig
+SQL_LSH_PAIRS = SQL_WORD_SIG_CTE + """
+, bands AS (
+  SELECT doc_id, 0 AS band_id, substr(h0, 1, 4) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, substr(h1, 1, 4) FROM sig
+  UNION ALL SELECT doc_id, 2, substr(h2, 1, 4) FROM sig
+  UNION ALL SELECT doc_id, 3, substr(h3, 1, 4) FROM sig
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
