@@ -72,15 +72,67 @@ class CanonResult:
 # minimum bnode (the reference's pivot).
 # ---------------------------------------------------------------------------
 
-def bnode_components(btri: DataFrame, max_iter: int = 64) -> DataFrame:
+def _cc_kernel(btri: DataFrame) -> DataFrame:
+    """Per-graph union-find — the reference's in-memory partition
+    (HashGraph.blankNodePartition, HashGraph.java:260-304) inside one
+    applyInPandas group per graph.  Right whenever single graphs fit a
+    task (the transcript north-star case: a graph is one conversation);
+    component id = minimum member bnode (pivot semantics)."""
+    schema = "graph_id string, bnode string, comp string"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf["graph_id"].iloc[0]
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, o in zip(pdf["subj"], pdf["obj"]):
+            bs, bo = s.startswith("_:"), o.startswith("_:")
+            if bs:
+                parent.setdefault(s, s)
+            if bo:
+                parent.setdefault(o, o)
+            if bs and bo:
+                ra, rb = find(s), find(o)
+                if ra != rb:
+                    parent[rb] = ra
+        groups: dict[str, list[str]] = {}
+        for n in parent:
+            groups.setdefault(find(n), []).append(n)
+        rows = []
+        for members in groups.values():
+            m = min(members)
+            rows.extend((g, n, m) for n in members)
+        return pd.DataFrame(rows, columns=["graph_id", "bnode", "comp"])
+
+    return (btri.select("graph_id", "subj", "obj")
+            .groupBy("graph_id").applyInPandas(run, schema)
+            .localCheckpoint(True))
+
+
+def bnode_components(btri: DataFrame, max_iter: int = 64,
+                     max_kernel_graph: int = 2_000_000) -> DataFrame:
     """(graph_id, bnode) → comp for every bnode in btri.
 
-    Each round does min-label propagation over edges AND a pointer-doubling
+    Routing: when every graph fits one task (≤ ``max_kernel_graph``
+    bnode-touching rows — the conversation-scale regime the north star
+    targets), components come from the per-graph union-find kernel in ONE
+    pass.  Oversized graphs fall back to the iterative loop below: each
+    round does min-label propagation over edges AND a pointer-doubling
     jump (comp ← comp[comp]), so convergence takes O(log diameter) rounds
     — a 2^64-diameter chain would be needed to hit ``max_iter``, and
     hitting it raises instead of silently returning a split partition
     (components split across fake pivots would give conflicting canonical
     labels downstream)."""
+    if max_kernel_graph:
+        biggest = (btri.groupBy("graph_id").agg(F.count("*").alias("n"))
+                   .agg(F.max("n").alias("m")).collect()[0]["m"]) or 0
+        if biggest <= max_kernel_graph:
+            return _cc_kernel(btri)
     ks0, ks1 = _ikey("graph_id", "subj")
     ko0, ko1 = _ikey("graph_id", "obj")
     nodes = (
@@ -314,7 +366,7 @@ def _kernel_colors(btri_kernel: DataFrame,
         BH = hf.blank
         graph_id = pdf["graph_id"].iloc[0]
         comp = pdf["comp"].iloc[0]
-        triples = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
+        triples = sorted(set(zip(pdf["subj"], pdf["pred"], pdf["obj"])))
         static: dict[str, bytes] = {}
         colors: dict[str, bytes] = {}
         for t in triples:
@@ -399,9 +451,14 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         ckpt = FixpointCheckpoint(spark, checkpoint_dir)
         restored = ckpt.restore()
 
+    # set semantics for the message workload: dedupe the EDGE views (one
+    # exchange each over narrow all-long tables, materialized once) — a
+    # duplicate input triple is exactly a duplicate edge row here, while
+    # distinct edges stay distinct even when their message values
+    # coincide (early rounds, equal colours)
     static_msgs, bb_edges = _edge_views(btri, plus_pair, minus_pair)
-    static_msgs = static_msgs.localCheckpoint(True)
-    bb_edges = bb_edges.localCheckpoint(True)
+    static_msgs = static_msgs.dropDuplicates().localCheckpoint(True)
+    bb_edges = bb_edges.dropDuplicates().localCheckpoint(True)
 
     if salt_buckets == "auto":
         # hub probe: a bnode's per-round fold size == its message count.
@@ -565,8 +622,13 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         F.coalesce("sc0", "ss0"), F.coalesce("sc1", "ss1"),
         F.col("p0"), F.col("p1"),
         F.coalesce("oc0", "os0"), F.coalesce("oc1", "os1"))
+    # per-triple hash rows, deduplicated (set semantics; distinct triples
+    # have distinct (t0, t1) because leaf colours are injective, so this
+    # 4-long dropDuplicates IS triple dedup, far narrower than shuffling
+    # the string triples)
     th = btrij.select("ck0", "ck1", tm.getField("h0").alias("t0"),
-                      tm.getField("h1").alias("t1"))
+                      tm.getField("h1").alias("t1")) \
+        .dropDuplicates().localCheckpoint(True)
     cd0, cd1 = _ikey("graph_id", "comp")
     comp_dict = (node_comp.select("graph_id", "comp").distinct()
                  .withColumn("ck0", cd0).withColumn("ck1", cd1))
@@ -580,7 +642,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # analogue of the oracle's graphs_seen TreeSet equality
     # (GraphLabelling.java:100-119); (nt, nb) guard the astronomically
     # rare md5 digest collision between non-isomorphic components
-    sizes = (btri.groupBy("ck0", "ck1").agg(F.count("*").alias("nt"))
+    sizes = (th.groupBy("ck0", "ck1").agg(F.count("*").alias("nt"))
              .join(leaf.groupBy("ck0", "ck1")
                    .agg(F.count("*").alias("nb")), ["ck0", "ck1"]))
     dup_w = Window.partitionBy("graph_id", "g0", "g1", "nt", "nb") \
@@ -615,7 +677,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
             gp0.alias("b0"), gp1.alias("b1"),
             go0.alias("c0"), go1.alias("c1"))
             .select("graph_id", gm.getField("h0").alias("t0"),
-                    gm.getField("h1").alias("t1")))
+                    gm.getField("h1").alias("t1"))
+            .dropDuplicates())
         comb_h = comp_mux.where("contributes").select(
             "graph_id", F.col("cb0").alias("t0"), F.col("cb1").alias("t1"))
         ghash = unordered_sum_pairs(ground_th.union(comb_h), ["graph_id"],

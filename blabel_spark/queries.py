@@ -914,6 +914,49 @@ LIMIT 10
 """
 
 
+def q_ann_multitable(spark, sf):
+    """OR-amplified multi-table Gaussian LSH ANN (12 tables × 3 bits —
+    the operating point that reaches recall@10 ≥ 0.9 on this corpus, see
+    tests/test_similarity.py)."""
+    from blabel_spark.ops.similarity import multitable_lsh_topk
+    return multitable_lsh_topk(load(spark, sf, "embeddings"),
+                               query_vec_id=0, k=10, n_bits=3, n_tables=12)
+
+
+def _sql_ann_multitable() -> str:
+    """DuckDB twin: same seeded hyperplanes, same candidate filter, same
+    cosine ranking."""
+    from blabel_spark.ops.similarity import projection_matrix
+    table_conds = []
+    for t in range(12):
+        W = projection_matrix(dim=64, n_bits=3, seed=42 + t)
+        bits_e = []
+        bits_q = []
+        for i in range(3):
+            arr = "[" + ", ".join(repr(float(x)) for x in W[i]) + "]"
+            bits_e.append("(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+                          f"{arr}) >= 0)")
+            bits_q.append("(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+                          f"{arr}) >= 0)")
+        table_conds.append(
+            "(" + " AND ".join(f"{a} = {b}"
+                               for a, b in zip(bits_e, bits_q)) + ")")
+    cond = "\n    OR ".join(table_conds)
+    return f"""
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+  AND ({cond})
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+SQL_ANN_MULTITABLE = _sql_ann_multitable()
+
+
 def q_lsh_bucket_stats(spark, sf):
     from blabel_spark.ops.similarity import bucket_stats
     return bucket_stats(load(spark, sf, "embeddings"), n_bits=6)
@@ -987,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "doc_fingerprint": q_fingerprint,
     "knn_brute_force": q_knn_brute,
+    "ann_multitable": q_ann_multitable,
     "lsh_bucket_stats": q_lsh_bucket_stats,
 }
 
@@ -1028,5 +1072,6 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "doc_fingerprint": SQL_FINGERPRINT,
     "knn_brute_force": SQL_KNN,
+    "ann_multitable": SQL_ANN_MULTITABLE,
     "lsh_bucket_stats": SQL_BUCKET_STATS,
 }

@@ -173,3 +173,19 @@ def test_auto_salting_hub_graph(spark):
     out = {(r.subj, r.pred, r.obj) for r in res.labelled.collect()}
     trips = [(s, p, o) for _, s, p, o in rows]
     assert out == set(label_graph(trips).graph)
+
+
+def test_cc_kernel_and_iterative_paths_agree(spark):
+    """Component routing: the per-graph union-find kernel and the
+    iterative pointer-doubling loop must produce identical partitions."""
+    from blabel_spark.canon.distributed import bnode_components
+    graphs = {f"r{s}": random_graph(s) for s in range(6)}
+    graphs["chain"] = [(f"_:n{i:02d}", "<p>", f"_:n{i + 1:02d}")
+                      for i in range(70)]
+    rows = [(g, s, p, o) for g, trips in graphs.items() for s, p, o in trips]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    a = sorted(map(tuple, bnode_components(df).collect()))
+    b = sorted(map(tuple,
+                   bnode_components(df, max_kernel_graph=0).collect()))
+    assert a == b
