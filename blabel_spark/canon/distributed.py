@@ -401,6 +401,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                  hash_name: str = "md5",
                  max_iterations: int = 64,
                  salt_buckets: int | str = "auto",
+                 route: str = "auto",
+                 kernel_graph_rows: int = 100_000,
                  checkpoint_dir: str | None = None,
                  checkpoint_every: int = 5) -> CanonResult:
     """Canonically label blank nodes of every graph in ``triples``.
@@ -413,6 +415,16 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     ``checkpoint_every`` iterations and a restarted run resumes from the
     last commit (colours are pure functions of the previous round, so
     replay is idempotent; see sources.io.FixpointCheckpoint).
+
+    Routing (``route="auto"``): when every graph fits one task
+    (≤ ``kernel_graph_rows`` rows — the per-document regime the reference
+    always runs in, and the north-star transcript case where one graph is
+    one conversation) the corpus is labelled by the per-graph kernel in a
+    single embarrassingly-parallel pass; the distributed pair fixpoint
+    below handles graphs too large for a task and any run that needs
+    mid-fixpoint checkpointing.  Both paths are bit-identical (parity
+    tests assert it); ``route="fixpoint"`` / ``route="by_graph"`` force a
+    path.
     """
     import time as _time
     _t0 = _time.time()
@@ -424,20 +436,41 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     if hf.n_bytes != 16:
         return canonicalize_by_graph(spark, triples, hash_name=hash_name,
                                      dip=dip, upg=upg)
+    # ONE probe pass serves P6 validation (bnode predicates fail loudly,
+    # as in the local oracle) and the routing decision
+    probe = (triples.groupBy("graph_id")
+             .agg(F.count("*").alias("n"),
+                  F.max(F.when(is_bnode_col("pred"), 1).otherwise(0))
+                  .alias("badp"))
+             .agg(F.max("n").alias("maxn"), F.max("badp").alias("badp"))
+             .collect()[0])
+    if probe["badp"]:
+        raise ValueError("blank node in predicate position")
+    biggest = probe["maxn"] or 0
+    metrics["max_graph_rows"] = int(biggest)
+    if route == "by_graph" or (
+            route == "auto" and checkpoint_dir is None
+            and biggest <= kernel_graph_rows):
+        res = canonicalize_by_graph(spark, triples, hash_name=hash_name,
+                                    dip=dip, upg=upg)
+        res.metrics.update(metrics)
+        res.metrics["t_total_s"] = round(_time.time() - _t0, 3)
+        return res
+
     tp = term_pair_exprs(hash_name)
     blank_pair = enc_pair(hf.blank)
     plus_pair = enc_pair(hf.plus)
     minus_pair = enc_pair(hf.minus)
     hash_int_udf = hash_int_pair_udf_for(hash_name)
-    # P6-style validation (reference predicates are always IRIs; a bnode
-    # predicate would silently hash as a static term here while the local
-    # oracle rejects it — fail loudly instead)
-    if triples.where(is_bnode_col("pred")).limit(1).count():
-        raise ValueError("blank node in predicate position")
     # RDF graphs are triple SETS (the reference loads into HashGraph /
-    # TreeSet structures); duplicate input rows would otherwise fold twice
-    # into the unordered graph/upg hashes and shift every label
-    triples = triples.select(*TRIPLE_COLS).dropDuplicates()
+    # TreeSet structures), but a whole-corpus dropDuplicates here would
+    # cost an extra full-input shuffle.  Set semantics are instead
+    # enforced inside shuffles that already exist: the edge views dedupe
+    # during their one-time materialization (narrow all-long tables), the
+    # graph/upg hash folds run over deduplicated per-triple hash rows,
+    # the kernels normalize their groups to sets, and the labelled output
+    # is dropDuplicates'd
+    triples = triples.select(*TRIPLE_COLS)
     btri, ground, node_comp = _prepare_bnode_triples(triples, tp)
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()
@@ -751,23 +784,33 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
 
 def canonicalize_by_graph(spark: SparkSession, triples: DataFrame, *,
                           hash_name: str = "md5", dip: bool = True,
-                          upg: bool = True) -> CanonResult:
+                          upg: bool = True,
+                          n_buckets: int | None = None) -> CanonResult:
     out_schema = ("graph_id string, kind string, a string, b string, "
                   "c string")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         from blabel_spark.canon.local import label_graph
-        g = pdf["graph_id"].iloc[0]
-        trips = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
-        res = label_graph(trips, dip=dip, upg=upg, hash_name=hash_name)
-        rows = [(g, "t", s, p, o) for s, p, o in res.graph]
-        rows += [(g, "l", n, "_:SK00" + c.hex(), "")
-                 for n, c in sorted(res.colors.items())]
+        rows = []
+        # one Arrow group carries MANY graphs (bucketed below) — per-graph
+        # scheduling overhead is amortized, essential when the corpus is
+        # millions of conversation-sized graphs
+        for g, gpdf in pdf.groupby("graph_id", sort=False):
+            trips = list(zip(gpdf["subj"], gpdf["pred"], gpdf["obj"]))
+            res = label_graph(trips, dip=dip, upg=upg, hash_name=hash_name)
+            rows.extend((g, "t", s, p, o) for s, p, o in res.graph)
+            rows.extend((g, "l", n, "_:SK00" + c.hex(), "")
+                        for n, c in sorted(res.colors.items()))
         return pd.DataFrame(rows,
                             columns=["graph_id", "kind", "a", "b", "c"])
 
-    out = (triples.select(*TRIPLE_COLS).dropDuplicates()
-           .groupBy("graph_id").applyInPandas(run, out_schema)
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions")) * 4
+    # no input dedupe needed: label_graph normalizes its group to a set
+    out = (triples.select(*TRIPLE_COLS)
+           .withColumn("_b", F.pmod(F.xxhash64("graph_id"),
+                                    F.lit(n_buckets)))
+           .groupBy("_b").applyInPandas(run, out_schema)
            ).localCheckpoint(True)
     labelled = (out.where(F.col("kind") == "t")
                 .select("graph_id", F.col("a").alias("subj"),

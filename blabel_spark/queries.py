@@ -414,10 +414,14 @@ def q_canonical_label_values(spark, sf):
     the distributed fixpoint, compared against labels precomputed by the
     independent single-thread oracle (canon.local.label_graph, itself
     golden-tested against the reference's BlabelTest labels).  Oracle data
-    is pinned to sf0.01 — see tools/gen_flagship_oracles.py."""
+    is pinned to sf0.01 — see tools/gen_flagship_oracles.py.  Forces the
+    distributed pair-fixpoint route so the driver gate exercises the
+    novel engine path (auto-routing would pick the per-graph kernel on
+    this corpus)."""
     from blabel_spark.canon.distributed import canonicalize
     t = build_triples(spark, sf)
-    return canonicalize(spark, t).labels.select("graph_id", "bnode", "label")
+    return canonicalize(spark, t, route="fixpoint").labels \
+        .select("graph_id", "bnode", "label")
 
 
 # ---------------------------------------------------------------------------

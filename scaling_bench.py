@@ -100,13 +100,21 @@ def child(cpus: int) -> None:
                        .alias("graph_id"), "subj", "pred", "obj")
                ).localCheckpoint(True)
     n = triples.count()
-    t0 = time.time()
-    res = canonicalize(spark, triples)
-    res.labelled.write.format("noop").mode("overwrite").save()
-    secs = time.time() - t0
-    print(json.dumps({"cpus": cpus, "secs": round(secs, 2), "n_triples": n,
-                      "triples_per_sec": round(n / secs, 1),
-                      "iterations": res.metrics["colour_iterations"]}))
+    out = {"cpus": cpus, "n_triples": n}
+    # both engine routes: the auto path (per-graph kernel — the regime
+    # the north-star transcript workload runs in) and the forced
+    # distributed pair fixpoint (the path for graphs too large for a
+    # task)
+    for route in ("auto", "fixpoint"):
+        t0 = time.time()
+        res = canonicalize(spark, triples, route=route)
+        res.labelled.write.format("noop").mode("overwrite").save()
+        secs = time.time() - t0
+        out[f"secs_{route}"] = round(secs, 2)
+        out[f"triples_per_sec_{route}"] = round(n / secs, 1)
+    out["iterations"] = res.metrics["colour_iterations"]
+    out["secs"] = out["secs_fixpoint"]   # headline = the harder path
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -125,6 +133,8 @@ def main() -> None:
     n, n4 = LEVELS
     speedup = results[n]["secs"] / results[n4]["secs"]
     eff = speedup / (n4 / n)
+    speedup_auto = results[n]["secs_auto"] / results[n4]["secs_auto"]
+    eff_auto = speedup_auto / (n4 / n)
     hw = cpu_ceiling(n, n4)
     # the fixpoint is shuffle/Arrow-exchange dominated, i.e. memory-
     # bandwidth-bound: the attainable speedup on ONE box is the bandwidth
@@ -136,6 +146,8 @@ def main() -> None:
         "runs": results,
         "speedup": round(speedup, 2),
         "scaling_efficiency": round(eff, 3),
+        "speedup_auto_route": round(speedup_auto, 2),
+        "scaling_efficiency_auto_route": round(eff_auto, 3),
         "target": 0.8,
         "hardware_ceiling": hw,
         "efficiency_vs_cpu_ceiling": round(speedup / hw["cpu_speedup"], 3),

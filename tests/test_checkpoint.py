@@ -30,7 +30,10 @@ def _run(spark, corpus, **kw):
 
 
 def test_checkpointed_run_matches_fresh(spark, corpus, tmp_path):
-    base, m0 = _run(spark, corpus)
+    # route="fixpoint": this test compares a fresh fixpoint run with a
+    # checkpointed one (auto-routing would pick the per-graph kernel on
+    # this small corpus and record no iterations)
+    base, m0 = _run(spark, corpus, route="fixpoint")
     assert m0["colour_iterations"] >= 5  # checkpoints actually fire
     ck, m1 = _run(spark, corpus, checkpoint_dir=str(tmp_path / "ck"),
                   checkpoint_every=2)
@@ -58,8 +61,9 @@ def test_lineage_metrics_and_materialize(spark, corpus, tmp_path):
                                      "pred string, obj string")
     res = canonicalize(spark, df)
     out_dir = str(tmp_path / "kg")
-    run_id = materialize_kg(spark, res.labelled, df, out_dir,
-                            {"iterations": res.metrics["colour_iterations"]})
+    run_id = materialize_kg(
+        spark, res.labelled, df, out_dir,
+        {"iterations": res.metrics.get("colour_iterations", 0)})
     written = spark.read.parquet(f"{out_dir}/triples")
     assert written.count() == res.labelled.count()
     m = spark.read.parquet(f"{out_dir}/metrics")

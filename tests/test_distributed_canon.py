@@ -19,8 +19,11 @@ from tests.test_local_canon import (
 
 
 def run_distributed(spark, graphs: dict, **kw):
-    """graphs: name → triple list.  Returns {name: set of labelled triples}."""
+    """graphs: name → triple list.  Returns {name: set of labelled triples}.
+    Defaults to route="fixpoint": these tests exercise the distributed
+    loop; auto-routing is covered by test_auto_route_matches_fixpoint."""
     from blabel_spark.canon.distributed import canonicalize
+    kw.setdefault("route", "fixpoint")
     rows = [(g, s, p, o) for g, trips in graphs.items() for s, p, o in trips]
     df = spark.createDataFrame(rows, "graph_id string, subj string, "
                                      "pred string, obj string")
@@ -144,7 +147,8 @@ rows = [(g, s, p, o) for g, trips in sorted(FIXTURES.items())
         for s, p, o in trips]
 df = spark.createDataFrame(rows, "graph_id string, subj string, "
                                  "pred string, obj string")
-out = sorted(map(tuple, canonicalize(spark, df).labelled.collect()))
+out = sorted(map(tuple,
+             canonicalize(spark, df, route="fixpoint").labelled.collect()))
 print("HASH:" + hashlib.md5(str(out).encode()).hexdigest())
 """
     hashes = []
@@ -167,7 +171,7 @@ def test_auto_salting_hub_graph(spark):
     rows += [("g", "_:hub", "<q>", "_:tail"), ("g", "_:tail", "<q>", "<z>")]
     df = spark.createDataFrame(rows, "graph_id string, subj string, "
                                      "pred string, obj string")
-    res = canonicalize(spark, df)
+    res = canonicalize(spark, df, route="fixpoint")
     assert res.metrics["max_bnode_degree"] >= n
     assert res.metrics["salt_buckets"] >= 2, res.metrics
     out = {(r.subj, r.pred, r.obj) for r in res.labelled.collect()}
@@ -189,3 +193,26 @@ def test_cc_kernel_and_iterative_paths_agree(spark):
     b = sorted(map(tuple,
                    bnode_components(df, max_kernel_graph=0).collect()))
     assert a == b
+
+
+def test_auto_route_matches_fixpoint(spark):
+    """Size-based routing: a small-graph corpus goes through the
+    per-graph kernel (reference per-document regime) and must be
+    bit-identical to the distributed fixpoint; over-threshold corpora
+    route to the fixpoint."""
+    from blabel_spark.canon.distributed import canonicalize
+    graphs = dict(FIXTURES)
+    rows = [(g, s, p, o) for g, trips in graphs.items()
+            for s, p, o in trips]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    auto = canonicalize(spark, df)
+    assert auto.metrics.get("mode") == "by_graph", auto.metrics
+    fix = canonicalize(spark, df, route="fixpoint")
+    assert sorted(map(tuple, auto.labelled.collect())) == \
+        sorted(map(tuple, fix.labelled.collect()))
+    assert sorted(map(tuple, auto.labels.collect())) == \
+        sorted(map(tuple, fix.labels.collect()))
+    # forcing a tiny threshold routes to the fixpoint
+    small = canonicalize(spark, df, kernel_graph_rows=2)
+    assert "mode" not in small.metrics
