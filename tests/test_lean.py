@@ -169,3 +169,32 @@ def test_bfs_fallback_for_over_budget_graphs(spark):
     wit_b = {r["bnode"] for r in
              wit1.where("graph_id = 'hard'").collect()}
     assert wit_b == {t[0] for t in c6 + c3}
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_bfs_matches_kernel_on_random_graphs(spark, seed):
+    """BFS join-chain leaning and the DFS kernel must agree (canonical
+    -form equality — cores are unique up to isomorphism, the reference's
+    own cross-config validation, TestFramework.java:151-155)."""
+    import random as _r
+    from blabel_spark.lean.bfs import bfs_lean_graph
+    rng = _r.Random(seed)
+    bnodes = [f"_:b{i}" for i in range(5)]
+    iris = [f"<i{i}>" for i in range(3)]
+    preds = ["<p>", "<q>"]
+    trips = []
+    for _ in range(9):
+        s = rng.choice(bnodes)
+        o = rng.choice(bnodes + iris)
+        trips.append((s, rng.choice(preds), o))
+    df = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    bfs_df, core = bfs_lean_graph(spark, df)
+    got = {tuple(r) for r in bfs_df.collect()}
+    want = set(lean_graph(trips).lean)
+    assert set(label_graph(sorted(got)).graph) == \
+        set(label_graph(sorted(want)).graph), seed
+    # witness covers every input bnode and maps into surviving terms
+    surv = {t for tr in got for t in (tr[0], tr[2])}
+    in_b = {t for tr in trips for t in (tr[0], tr[2]) if is_bnode(t)}
+    assert set(core) == in_b
+    assert all(core[b] in surv or not is_bnode(core[b]) for b in core)
