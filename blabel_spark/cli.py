@@ -46,7 +46,32 @@ def main(argv: list[str] | None = None) -> int:
     ana.add_argument("-i", "--input", required=True, help="bench TSV")
     ana.add_argument("-o", "--output", required=True, help="output dir")
     ana.add_argument("--cpus", type=int, default=None)
+    syn = sub.add_parser(
+        "bench-synthetic", help="benchmark synthetic graph classes "
+        "(RunSyntheticEvaluation counterpart); emits reference-format TSV")
+    syn.add_argument("-o", "--output", required=True, help="TSV output dir")
+    syn.add_argument("--classes", default="cycle:8,grid:3,clique:4,star:16,"
+                     "chain:12",
+                     help="comma list of <class>:<size>")
+    syn.add_argument("--mode", default="BOTH",
+                     choices=["LEAN", "LABEL", "BOTH"])
+    syn.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "bench-synthetic":
+        from blabel_spark.spark_util import get_spark
+        from blabel_spark.synthetic import (
+            run_benchmark, synthetic_corpus, to_tsv_lines)
+        spark = get_spark("blabel-synth", cpus=args.cpus)
+        spec = [(c.split(":")[0], int(c.split(":")[1]))
+                for c in args.classes.split(",") if c]
+        corpus = synthetic_corpus(spark, spec)
+        bench = run_benchmark(spark, corpus, mode=args.mode)
+        to_tsv_lines(bench).coalesce(1).write.mode("overwrite") \
+            .text(args.output)
+        n = spark.read.text(args.output).count()
+        print(f"wrote {n} benchmark rows to {args.output}", file=sys.stderr)
+        return 0
 
     if args.cmd == "analyse":
         from blabel_spark.ops.analyse import analyse_run, read_bench_tsv
