@@ -784,20 +784,33 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
 
 def canonicalize_by_graph(spark: SparkSession, triples: DataFrame, *,
                           hash_name: str = "md5", dip: bool = True,
-                          upg: bool = True,
+                          upg: bool = True, max_leaves: int | None = None,
                           n_buckets: int | None = None) -> CanonResult:
     out_schema = ("graph_id string, kind string, a string, b string, "
                   "c string")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        from blabel_spark.canon.local import label_graph
+        from blabel_spark.canon.local import (
+            HashCollisionError, SearchBudgetExceeded, label_graph)
         rows = []
         # one Arrow group carries MANY graphs (bucketed below) — per-graph
         # scheduling overhead is amortized, essential when the corpus is
         # millions of conversation-sized graphs
         for g, gpdf in pdf.groupby("graph_id", sort=False):
             trips = list(zip(gpdf["subj"], gpdf["pred"], gpdf["obj"]))
-            res = label_graph(trips, dip=dip, upg=upg, hash_name=hash_name)
+            try:
+                res = label_graph(trips, dip=dip, upg=upg,
+                                  hash_name=hash_name,
+                                  max_leaves=max_leaves)
+            except (SearchBudgetExceeded, HashCollisionError) as e:
+                # a pathological graph must not sink the corpus job: pass
+                # its triples through unlabelled and report it, the
+                # reference's per-document timeout behaviour
+                # (RunNQuadsTest.java:296-320)
+                rows.extend((g, "t", s, p, o)
+                            for s, p, o in sorted(set(trips)))
+                rows.append((g, "e", type(e).__name__, str(e)[:200], ""))
+                continue
             rows.extend((g, "t", s, p, o) for s, p, o in res.graph)
             rows.extend((g, "l", n, "_:SK00" + c.hex(), "")
                         for n, c in sorted(res.colors.items()))
@@ -818,5 +831,11 @@ def canonicalize_by_graph(spark: SparkSession, triples: DataFrame, *,
     labels = (out.where(F.col("kind") == "l")
               .select("graph_id", F.col("a").alias("bnode"),
                       F.col("b").alias("label")))
-    return CanonResult(labelled, labels,
-                       {"mode": "by_graph", "hash_name": hash_name})
+    metrics = {"mode": "by_graph", "hash_name": hash_name}
+    n_failed = out.where(F.col("kind") == "e").count()
+    if n_failed:
+        metrics["failed_graphs"] = n_failed
+        metrics["failed_sample"] = [
+            (r["graph_id"], r["a"])
+            for r in out.where(F.col("kind") == "e").limit(5).collect()]
+    return CanonResult(labelled, labels, metrics)

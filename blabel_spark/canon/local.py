@@ -416,8 +416,8 @@ def _canonical_component(col: _Colouring, mux: bytes) -> tuple[
 
 
 def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
-                prune: bool = True,
-                hash_name: str = "md5") -> LabellingResult:
+                prune: bool = True, hash_name: str = "md5",
+                max_leaves: int | None = None) -> LabellingResult:
     """Canonically label one RDF graph (GraphLabelling.call, GL:61-192).
 
     dip: distinguish isomorphic components by muxing a duplicate counter.
@@ -460,7 +460,9 @@ def label_graph(triples: list[Triple], dip: bool = True, upg: bool = True,
                   for t in ctriples for n in (t[0], t[2]) if is_bnode(n)}
         col = _Colouring(triples=ctriples, static=static, colors=colors,
                          path=[], leaves={}, colour_iters=[], prune=prune,
-                         hf=hf)
+                         hf=hf,
+                         leaf_budget=[max_leaves if max_leaves is not None
+                                      else MAX_LEAVES])
         col.execute()
         total_iters += sum(col.colour_iters)
         total_leaves += sum(len(v) for v in col.leaves.values())

@@ -216,3 +216,24 @@ def test_auto_route_matches_fixpoint(spark):
     # forcing a tiny threshold routes to the fixpoint
     small = canonicalize(spark, df, kernel_graph_rows=2)
     assert "mode" not in small.metrics
+
+
+def test_by_graph_pathological_graph_reported_not_fatal(spark):
+    """A graph whose branch-and-bound exceeds its leaf budget must not
+    sink the corpus job: its triples pass through unlabelled, the failure
+    is reported in metrics, and healthy graphs still label (the
+    reference's per-document timeout behaviour)."""
+    from blabel_spark.canon.distributed import canonicalize_by_graph
+    rows = [("bad", s, p, o) for s, p, o in FIXTURES["grid-3x3"]]
+    rows += [("ok", "_:a", "<p>", "<u>")]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    res = canonicalize_by_graph(spark, df, max_leaves=1)
+    m = res.metrics
+    assert m["failed_graphs"] == 1
+    assert m["failed_sample"][0][0] == "bad"
+    # bad graph passed through unlabelled; ok graph labelled
+    bad = {r.subj for r in res.labelled.where("graph_id='bad'").collect()}
+    assert any(s.startswith("_:g") for s in bad)
+    ok = {r.subj for r in res.labelled.where("graph_id='ok'").collect()}
+    assert all(s.startswith("_:SK00") for s in ok)
