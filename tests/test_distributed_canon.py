@@ -237,3 +237,25 @@ def test_by_graph_pathological_graph_reported_not_fatal(spark):
     assert any(s.startswith("_:g") for s in bad)
     ok = {r.subj for r in res.labelled.where("graph_id='ok'").collect()}
     assert all(s.startswith("_:SK00") for s in ok)
+
+
+def test_empty_and_ground_only_inputs(spark):
+    """Degenerate corpora must not crash either route: empty input gives
+    empty outputs; an all-ground corpus passes through with no labels."""
+    from blabel_spark.canon.distributed import canonicalize
+    empty = spark.createDataFrame([], "graph_id string, subj string, "
+                                      "pred string, obj string")
+    for route in ("auto", "fixpoint"):
+        res = canonicalize(spark, empty, route=route)
+        assert res.labelled.count() == 0, route
+        assert res.labels.count() == 0, route
+    ground = spark.createDataFrame(
+        [("g", "<a>", "<p>", "<b>"), ("g", "<a>", "<p>", "<b>"),
+         ("h", "<c>", "<q>", '"lit"')],
+        "graph_id string, subj string, pred string, obj string")
+    for route in ("auto", "fixpoint"):
+        res = canonicalize(spark, ground, route=route)
+        out = sorted(map(tuple, res.labelled.collect()))
+        assert out == [("g", "<a>", "<p>", "<b>"),
+                       ("h", "<c>", "<q>", '"lit"')], route
+        assert res.labels.count() == 0, route
