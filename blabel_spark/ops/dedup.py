@@ -51,8 +51,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 4, k: int = 5,
                        text_col: str = "text",
                        unit: str = "char") -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signature over k-shingles (char or
-    word, see _shingles)."""
-    sh = _shingles(text_col, k, unit)
+    word, see _shingles).  The shingle array is materialized into one
+    column first so the n_hashes per-seed transforms share it instead of
+    re-deriving it per seed."""
+    with_sh = docs.select("doc_id",
+                          _shingles(text_col, k, unit).alias("_sh"))
     cols = []
     for s in range(n_hashes):
         # NB: the lambda must take exactly one arg — F.transform passes the
@@ -60,9 +63,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 4, k: int = 5,
         # default.  transform() consumes the lambda eagerly, so closing over
         # the loop variable via `seed` is safe.
         seed = F.lit(f"s{s}|")
-        hashes = F.transform(sh, lambda x: F.md5(F.concat(seed, x)))
+        hashes = F.transform(F.col("_sh"),
+                             lambda x: F.md5(F.concat(seed, x)))
         cols.append(F.array_min(hashes).alias(f"h{s}"))
-    return docs.select("doc_id", *cols)
+    return with_sh.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, k: int = 5,
@@ -78,13 +82,13 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, k: int = 5,
     once."""
     sig = signatures if signatures is not None \
         else minhash_signatures(docs, n_hashes, k, unit=unit)
-    bands = None
-    for s in range(n_hashes):
-        b = sig.select(
-            "doc_id",
-            F.lit(s).alias("band_id"),
-            F.substring(F.col(f"h{s}"), 1, band_chars).alias("band_key"))
-        bands = b if bands is None else bands.union(b)
+    # one posexplode pass — a union of per-band selects would re-evaluate
+    # the signature plan once per band
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(
+            *[F.substring(F.col(f"h{s}"), 1, band_chars)
+              for s in range(n_hashes)])).alias("band_id", "band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
