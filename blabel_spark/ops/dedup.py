@@ -104,9 +104,12 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5,
                   text_col: str = "text", unit: str = "char") -> DataFrame:
     """Jaccard similarity over distinct k-shingles for the given candidate
     pairs only (never all pairs)."""
+    # materialized once: the shingle relation feeds the per-doc counts AND
+    # both sides of the intersection join
     shingles = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles(text_col, k, unit))).alias("sh"))
+        F.explode(F.array_distinct(_shingles(text_col, k, unit)))
+        .alias("sh")).localCheckpoint(True)
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = shingles.select(F.col("doc_id").alias("_docb"),
