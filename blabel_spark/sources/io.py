@@ -126,11 +126,38 @@ def lineage_metrics(labelled: DataFrame, triples_in: DataFrame,
     return m
 
 
+def append_snapshot(out_dir: str, entry: dict) -> None:
+    """Append a commit record to ``<out_dir>/_snapshots.json`` with an
+    atomic replace — the parquet-fallback analogue of an Iceberg snapshot
+    pointer: a reader trusts only tables referenced by the manifest, so a
+    crashed half-written commit is never observed."""
+    path = os.path.join(out_dir, "_snapshots.json")
+    snaps = []
+    if os.path.exists(path):
+        with open(path) as f:
+            snaps = json.load(f)
+    snaps.append(entry)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snaps, f, indent=1)
+    os.replace(tmp, path)
+
+
+def latest_snapshot(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, "_snapshots.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        snaps = json.load(f)
+    return snaps[-1] if snaps else None
+
+
 def materialize_kg(spark: SparkSession, labelled: DataFrame,
                    triples_in: DataFrame, out_dir: str,
                    metrics_extra: dict | None = None) -> str:
     """Write the canonical triple table partitioned by graph bucket plus
-    its lineage/metrics table; returns the run id."""
+    its lineage/metrics table, then commit the snapshot manifest entry
+    (written LAST — the commit point); returns the run id."""
     from pyspark.sql import functions as F
     run_id = uuid.uuid4().hex[:12]
     out = labelled.withColumn(
@@ -138,4 +165,12 @@ def materialize_kg(spark: SparkSession, labelled: DataFrame,
     write_table(out, f"{out_dir}/triples", partition_by=["graph_bucket"])
     m = lineage_metrics(labelled, triples_in, run_id, metrics_extra)
     write_table(m, f"{out_dir}/metrics")
+    n_rows = spark.read.parquet(f"{out_dir}/triples").count()
+    append_snapshot(out_dir, {
+        "run_id": run_id,
+        "committed_at": time.time(),
+        "tables": {"triples": f"{out_dir}/triples",
+                   "metrics": f"{out_dir}/metrics"},
+        "n_rows": n_rows,
+    })
     return run_id

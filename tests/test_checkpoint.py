@@ -73,3 +73,27 @@ def test_lineage_metrics_and_materialize(spark, corpus, tmp_path):
         assert rows[g].n_in == len(trips)
         assert rows[g].n_out == len(trips)  # chains have no dup collapse
         assert rows[g].run_id == run_id
+
+
+def test_snapshot_manifest(spark, corpus, tmp_path):
+    """materialize_kg commits an atomic snapshot manifest LAST — readers
+    trust only manifest-referenced tables (Iceberg-pointer semantics on
+    the parquet fallback), and repeated commits append."""
+    from blabel_spark.canon.distributed import canonicalize
+    from blabel_spark.sources.io import latest_snapshot, materialize_kg
+    rows = [(g, s, p, o) for g, trips in corpus.items() for s, p, o in trips]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    res = canonicalize(spark, df)
+    out_dir = str(tmp_path / "kg2")
+    assert latest_snapshot(out_dir) is None
+    rid1 = materialize_kg(spark, res.labelled, df, out_dir)
+    snap = latest_snapshot(out_dir)
+    assert snap["run_id"] == rid1
+    assert snap["n_rows"] == res.labelled.count()
+    assert spark.read.parquet(snap["tables"]["triples"]).count() \
+        == snap["n_rows"]
+    rid2 = materialize_kg(spark, res.labelled, df, out_dir)
+    import json
+    snaps = json.load(open(f"{out_dir}/_snapshots.json"))
+    assert [s["run_id"] for s in snaps] == [rid1, rid2]
