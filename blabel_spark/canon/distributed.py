@@ -535,12 +535,18 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         kernel_parts: list[DataFrame] = []
         active = None  # None = every component is active
         it = 0
+    # per-iteration observability: one entry per round with component
+    # status counts and wall times (the "per-partition lineage + metrics"
+    # north_rule line, at fixpoint granularity)
+    iter_log: list[dict] = []
     while True:
         it += 1
+        _it_t0 = _time.time()
         sm = static_msgs if active is None else \
             static_msgs.join(active, CK, "left_semi")
         msgs = _iteration_messages(sm, bb_edges, lab)
         new_lab = _next_colors(msgs, lab, salt_buckets).localCheckpoint(True)
+        _fold_s = round(_time.time() - _it_t0, 3)
 
         # convergence + refinement audit in ONE aggregation: the fold
         # passes each bnode's previous colour through (oh columns), so we
@@ -567,6 +573,11 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
 
         counts = {r["status"]: r["n"] for r in
                   conv.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        iter_log.append({"iteration": it,
+                         "t_fold_s": _fold_s,
+                         "t_conv_s": round(_time.time() - _it_t0 - _fold_s,
+                                           3),
+                         **{f"n_{k}": int(v) for k, v in counts.items()}})
         done_comps = conv.where(F.col("status") == "discrete").select(*CK)
         stall_comps = conv.where(F.col("status") == "stalled").select(*CK)
 
@@ -604,6 +615,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
             ckpt.commit(it, lab, conv_prev, res_u, ker_u)
 
     metrics["colour_iterations"] = it
+    metrics["iterations_log"] = iter_log
     metrics["t_loop_s"] = round(_time.time() - _t0, 3)
     _t0 = _time.time()
 

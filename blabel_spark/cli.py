@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     lab.add_argument("-s", "--hash", default="md5",
                      choices=["md5", "murmur3_128", "sha1", "sha256",
                               "sha512"])
+    lab.add_argument("--checkpoint", default=None,
+                     help="fixpoint checkpoint dir (resumable runs; "
+                          "forces the distributed fixpoint route)")
     lab.add_argument("--single", action="store_true")
     lab.add_argument("--cpus", type=int, default=None)
     ana = sub.add_parser(
@@ -98,7 +101,8 @@ def main(argv: list[str] | None = None) -> int:
         triples, _witness = lean_graphs(spark, triples)
 
     res = canonicalize(spark, triples, dip=not args.no_dip,
-                       upg=not args.no_upg, hash_name=args.hash)
+                       upg=not args.no_upg, hash_name=args.hash,
+                       checkpoint_dir=args.checkpoint)
     out = res.labelled
     if args.prefix or args.iri:
         # GraphLabelIterator semantics (label/util/GraphLabelIterator.java)
