@@ -198,3 +198,39 @@ def test_bfs_matches_kernel_on_random_graphs(spark, seed):
     in_b = {t for tr in trips for t in (tr[0], tr[2]) if is_bnode(t)}
     assert set(core) == in_b
     assert all(core[b] in surv or not is_bnode(core[b]) for b in core)
+
+
+def test_trivial_prepass_matches_kernel_only(spark):
+    """The distributed trivial pre-pass must not change leaning results:
+    prepass+kernel and kernel-only produce canonically equal cores, and
+    the composed witness still covers every input bnode with surviving
+    targets."""
+    from blabel_spark.lean.distributed import lean_graphs
+    graphs = {
+        "redundant": [("_:a", "<p>", "<u>"), ("<v>", "<p>", "<u>"),
+                      ("_:b", "<q>", "_:a"), ("<w>", "<q>", "<v>")],
+        "chainfold": [("_:a", "<p>", "_:b"),
+                      ("_:x", "<p>", "_:y"), ("_:y", "<p>", "_:z"),
+                      ("_:z", "<p>", "<g>")],
+        "lean1": [("_:m", "<p>", "_:n"), ("_:n", "<q>", "_:m")],
+    }
+    rows = [(g, s, p, o) for g, trips in graphs.items() for s, p, o in trips]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    lean0, wit0 = lean_graphs(spark, df, prepass=False)
+    lean1, wit1 = lean_graphs(spark, df, prepass=True)
+    for g, trips in graphs.items():
+        a = {(r.subj, r.pred, r.obj)
+             for r in lean0.where(lean0.graph_id == g).collect()}
+        b = {(r.subj, r.pred, r.obj)
+             for r in lean1.where(lean1.graph_id == g).collect()}
+        assert set(label_graph(sorted(a)).graph) == \
+            set(label_graph(sorted(b)).graph), g
+        # witness covers all input bnodes; targets are surviving terms
+        in_b = {t for tr in trips for t in (tr[0], tr[2])
+                if is_bnode(t)}
+        w = {r.bnode: r.target
+             for r in wit1.where(wit1.graph_id == g).collect()}
+        assert set(w) == in_b, g
+        surv = {t for tr in b for t in (tr[0], tr[2])}
+        assert all((not is_bnode(t)) or t in surv for t in w.values()), g
