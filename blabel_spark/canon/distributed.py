@@ -41,15 +41,15 @@ from pyspark.sql import functions as F
 
 from blabel_spark.hashing import MIN_LONG, enc_pair, get_hash_family
 from blabel_spark.pair_kernels import (
-    combine2_pairs_udf,
-    combine3_pairs_udf,
+    combine2_pairs_sql,
+    combine3_pairs_sql,
     fold_messages,
     fold_pair_array_udf,
     hash_int_pair_udf_for,
     md5_pair,
     pair_hex,
     term_pair_exprs,
-    unordered_sum_pairs,
+    unordered_sum_pairs_sql,
 )
 
 TRIPLE_COLS = ("graph_id", "subj", "pred", "obj")
@@ -57,6 +57,20 @@ TRIPLE_COLS = ("graph_id", "subj", "pred", "obj")
 
 def is_bnode_col(c):
     return F.col(c).startswith("_:")
+
+
+def _mb(df: DataFrame, n_rows: int | None, limit: int) -> DataFrame:
+    """Conditionally broadcast a dimension table whose exact row count is
+    already known from a prior action.  Checkpointed tables report no
+    size stats, so without the hint AQE plans every join against them as
+    a full exchange of the big side.  Above ``limit`` rows the table may
+    not fit executor memory and the plain co-partitioned shuffle join is
+    the correct plan — the fallback keeps the 10^12-triple case honest
+    while the per-component/per-bnode tables (≪ triples) ride broadcast
+    hash joins whenever they fit."""
+    if n_rows is not None and n_rows <= limit:
+        return F.broadcast(df)
+    return df
 
 
 @dataclass
@@ -217,10 +231,11 @@ def _ikey(*cols) -> tuple:
             F.xxhash64(F.lit(2), *[F.col(c) for c in cols]))
 
 
-def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair
-                           ) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
+                           broadcast_rows: int = 0
+                           ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Split into (bnode-touching triples with comp, static hash pairs and
-    interned key columns, ground triples, bnode→comp table).
+    interned key columns, ground triples, bnode→comp table, n_bnodes).
 
     btri columns beyond the triple: comp, (ck0, ck1) interned component
     key, (p0, p1) pred hash, (ss0, ss1)/(os0, os1) static term hashes when
@@ -232,6 +247,10 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair
     btri = tri.where(has_b)
 
     comp = bnode_components(btri)
+    # the bnode→comp table has one row per blank node (≪ triples): its
+    # count is the n_bnodes metric AND the broadcast decision for the
+    # decoration join below, which otherwise exchanges the whole btri set
+    n_bnodes = comp.count()
     anchor = F.when(is_bnode_col("subj"), F.col("subj")).otherwise(F.col("obj"))
     p0, p1 = tp(F.col("pred"))
     s0, s1 = tp(F.col("subj"))
@@ -241,7 +260,8 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair
     k_o0, k_o1 = _ikey("graph_id", "obj")
     btri = (
         btri.withColumn("_anchor", anchor)
-        .join(comp.withColumnRenamed("bnode", "_anchor"),
+        .join(_mb(comp.withColumnRenamed("bnode", "_anchor"),
+                  n_bnodes, broadcast_rows),
               ["graph_id", "_anchor"])
         .drop("_anchor")
         .withColumn("ck0", c0).withColumn("ck1", c1)
@@ -255,18 +275,22 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair
         .withColumn("ko0", F.when(is_bnode_col("obj"), k_o0))
         .withColumn("ko1", F.when(is_bnode_col("obj"), k_o1))
     )
-    return btri, ground, comp
+    return btri, ground, comp, n_bnodes
 
 
 def _edge_views(btri: DataFrame, plus_pair=None,
-                minus_pair=None) -> tuple[DataFrame, DataFrame]:
-    """Split the J1 message workload into static and dynamic parts.
+                minus_pair=None) -> DataFrame:
+    """The J1 message workload as ONE directed-edge table.
 
     Subject bnodes receive combineOrdered(h(obj), h(pred), PLUS); object
     bnodes combineOrdered(h(subj), h(pred), MINUS) (GraphColouring.java:
-    505-534).  Ground-other-end messages are constant across rounds —
-    computed once here; bnode→bnode edges carry their pred/marker pairs
-    and join the colour table each round.
+    505-534).  Rows with a ground other end (ot non-null) are the static
+    messages — their value is constant across rounds and a pure-codegen
+    combine at every scan; bnode→bnode rows (ok non-null) join the colour
+    table each round.  Returned un-deduplicated: the caller dedups and
+    checkpoints the single table once (set semantics: a duplicate input
+    triple is exactly a duplicate edge row here, while distinct edges
+    stay distinct even when their message values coincide).
     """
     def side(bcol, bk, ok, ot, mk):
         return btri.where(is_bnode_col(bcol)).select(
@@ -277,32 +301,42 @@ def _edge_views(btri: DataFrame, plus_pair=None,
             "p0", "p1",
             F.lit(mk[0]).alias("mk0"), F.lit(mk[1]).alias("mk1"))
 
-    edges = side("subj", "ks", "ko", "os", plus_pair) \
+    return side("subj", "ks", "ko", "os", plus_pair) \
         .union(side("obj", "ko", "ks", "ss", minus_pair))
-    static = edges.where(F.col("ot0").isNotNull())
-    m = combine3_pairs_udf("ot0", "ot1", "p0", "p1", "mk0", "mk1")
-    static_msgs = static.select(
-        "ck0", "ck1", "bk0", "bk1",
-        m.getField("h0").alias("m0"), m.getField("h1").alias("m1"))
-    bb_edges = edges.where(F.col("ot0").isNull()) \
-                    .drop("ot0", "ot1")
+
+
+def _split_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(static message rows, bnode→bnode edge rows) as lazy views over the
+    deduplicated edge table — the static combine3 is whole-stage codegen,
+    so recomputing it per scan costs nothing vs a second materialized
+    table."""
+    m0, m1 = combine3_pairs_sql("ot0", "ot1", "p0", "p1", "mk0", "mk1")
+    static_msgs = edges.where(F.col("ot0").isNotNull()).select(
+        "ck0", "ck1", "bk0", "bk1", m0.alias("m0"), m1.alias("m1"))
+    bb_edges = edges.where(F.col("ot0").isNull()).drop("ot0", "ot1")
     return static_msgs, bb_edges
 
 
 def _iteration_messages(static_msgs: DataFrame, bb_edges: DataFrame,
-                        lab: DataFrame) -> DataFrame:
+                        lab: DataFrame, lab_rows: int | None = None,
+                        broadcast_rows: int = 0) -> DataFrame:
     # the other end's interned key (ok) is globally unique (128-bit over
-    # graph_id+term), so the colour lookup joins on two longs only
-    other_lab = lab.select(F.col("bk0").alias("_n0"),
-                           F.col("bk1").alias("_n1"),
-                           F.col("h0").alias("oc0"), F.col("h1").alias("oc1"))
-    m = combine3_pairs_udf("oc0", "oc1", "p0", "p1", "mk0", "mk1")
+    # graph_id+term), so the colour lookup joins on two longs only; the
+    # colour table shrinks as components converge and rides a broadcast
+    # once it fits (lab_rows is exact, carried from the previous round's
+    # convergence aggregation)
+    other_lab = _mb(
+        lab.select(F.col("bk0").alias("_n0"),
+                   F.col("bk1").alias("_n1"),
+                   F.col("h0").alias("oc0"), F.col("h1").alias("oc1")),
+        lab_rows, broadcast_rows)
+    m0, m1 = combine3_pairs_sql("oc0", "oc1", "p0", "p1", "mk0", "mk1")
     dyn = (
         bb_edges
         .join(other_lab, on=[bb_edges.ok0 == other_lab._n0,
                              bb_edges.ok1 == other_lab._n1])
         .select("ck0", "ck1", "bk0", "bk1",
-                m.getField("h0").alias("m0"), m.getField("h1").alias("m1"))
+                m0.alias("m0"), m1.alias("m1"))
     )
     return static_msgs.union(dyn)
 
@@ -396,6 +430,28 @@ def _kernel_colors(btri_kernel: DataFrame,
 # the driver loop
 # ---------------------------------------------------------------------------
 
+def _warn_by_graph_ignores(metrics: dict, checkpoint_dir, max_iterations,
+                           salt_buckets) -> None:
+    """The per-graph kernel route has no mid-fixpoint state, so
+    fixpoint-only knobs are inert there.  A run the user believes is
+    resumable via ``checkpoint_dir`` is not — say so loudly and record it
+    in metrics instead of silently dropping the options."""
+    ignored = []
+    if checkpoint_dir:
+        ignored.append("checkpoint_dir")
+    if max_iterations != 64:
+        ignored.append("max_iterations")
+    if salt_buckets not in ("auto", 0):
+        ignored.append("salt_buckets")
+    if ignored:
+        import warnings
+        metrics["ignored_options"] = ignored
+        warnings.warn(
+            f"canonicalize took the per-graph kernel route; options "
+            f"{ignored} only apply to the distributed fixpoint and were "
+            f"ignored (pass route='fixpoint' to force the resumable path)",
+            stacklevel=3)
+
 def canonicalize(spark: SparkSession, triples: DataFrame, *,
                  dip: bool = True, upg: bool = True,
                  hash_name: str = "md5",
@@ -403,6 +459,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                  salt_buckets: int | str = "auto",
                  route: str = "auto",
                  kernel_graph_rows: int = 100_000,
+                 broadcast_rows: int = 2_000_000,
                  checkpoint_dir: str | None = None,
                  checkpoint_every: int = 5) -> CanonResult:
     """Canonically label blank nodes of every graph in ``triples``.
@@ -425,6 +482,12 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     mid-fixpoint checkpointing.  Both paths are bit-identical (parity
     tests assert it); ``route="fixpoint"`` / ``route="by_graph"`` force a
     path.
+
+    ``broadcast_rows``: per-component / per-bnode dimension tables whose
+    exact counts are known (from actions the loop performs anyway) join
+    via broadcast when at most this many rows — above it every such join
+    falls back to the co-partitioned exchange.  2M rows ≈ 100-300 MB
+    broadcast, safe for ordinary executors; tune down for small ones.
     """
     import time as _time
     _t0 = _time.time()
@@ -434,8 +497,11 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # sha256/sha512) go through the per-graph kernel path instead
     hf = get_hash_family(hash_name)
     if hf.n_bytes != 16:
-        return canonicalize_by_graph(spark, triples, hash_name=hash_name,
-                                     dip=dip, upg=upg)
+        res = canonicalize_by_graph(spark, triples, hash_name=hash_name,
+                                    dip=dip, upg=upg)
+        _warn_by_graph_ignores(res.metrics, checkpoint_dir, max_iterations,
+                               salt_buckets)
+        return res
     # ONE probe pass serves P6 validation (bnode predicates fail loudly,
     # as in the local oracle) and the routing decision
     probe = (triples.groupBy("graph_id")
@@ -455,6 +521,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                                     dip=dip, upg=upg)
         res.metrics.update(metrics)
         res.metrics["t_total_s"] = round(_time.time() - _t0, 3)
+        _warn_by_graph_ignores(res.metrics, checkpoint_dir, max_iterations,
+                               salt_buckets)
         return res
 
     tp = term_pair_exprs(hash_name)
@@ -471,9 +539,11 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # the kernels normalize their groups to sets, and the labelled output
     # is dropDuplicates'd
     triples = triples.select(*TRIPLE_COLS)
-    btri, ground, node_comp = _prepare_bnode_triples(triples, tp)
+    btri, ground, node_comp, n_bnodes = _prepare_bnode_triples(
+        triples, tp, broadcast_rows)
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()
+    metrics["n_bnodes"] = n_bnodes
     metrics["t_prep_s"] = round(_time.time() - _t0, 3)
     _t0 = _time.time()
 
@@ -484,29 +554,32 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         ckpt = FixpointCheckpoint(spark, checkpoint_dir)
         restored = ckpt.restore()
 
-    # set semantics for the message workload: dedupe the EDGE views (one
-    # exchange each over narrow all-long tables, materialized once) — a
-    # duplicate input triple is exactly a duplicate edge row here, while
-    # distinct edges stay distinct even when their message values
-    # coincide (early rounds, equal colours)
-    static_msgs, bb_edges = _edge_views(btri, plus_pair, minus_pair)
-    static_msgs = static_msgs.dropDuplicates().localCheckpoint(True)
-    bb_edges = bb_edges.dropDuplicates().localCheckpoint(True)
+    # set semantics for the message workload: ONE deduplicated edge table
+    # (one exchange over a narrow all-long table, materialized once); the
+    # static/dynamic split stays lazy codegen over it
+    edges = _edge_views(btri, plus_pair, minus_pair) \
+        .dropDuplicates().localCheckpoint(True)
+    static_msgs, bb_edges = _split_edges(edges)
 
     if salt_buckets == "auto":
-        # hub probe: a bnode's per-round fold size == its message count.
-        # One cheap aggregation over the (checkpointed) edge views decides
-        # whether the salted two-stage fold is worth its extra shuffle —
-        # degree-skewed hub entities are exactly the north_rule's "salted
-        # repartitioning" case, and the decision must not rely on a human
-        # noticing the skew.
-        deg = (static_msgs.select("bk0", "bk1")
-               .union(bb_edges.select("bk0", "bk1"))
-               .groupBy("bk0", "bk1").agg(F.count("*").alias("n"))
-               .agg(F.max("n").alias("m")).collect()[0]["m"]) or 0
-        metrics["max_bnode_degree"] = int(deg)
-        salt_buckets = 0 if deg < (1 << 17) else \
-            min(256, int(deg) >> 15)
+        # hub probe: a bnode's per-round fold size == its message count,
+        # and degree ≤ 2 × its graph's rows — when even the biggest graph
+        # is below the salting threshold no bnode can be a hub and the
+        # probe is skipped outright.  Otherwise one aggregation over the
+        # checkpointed edge table decides whether the salted two-stage
+        # fold is worth its extra shuffle — degree-skewed hub entities
+        # are exactly the north_rule's "salted repartitioning" case, and
+        # the decision must not rely on a human noticing the skew.
+        if 2 * biggest < (1 << 17):
+            salt_buckets = 0
+            metrics["max_bnode_degree_bound"] = 2 * biggest
+        else:
+            deg = (edges.groupBy("bk0", "bk1")
+                   .agg(F.count("*").alias("n"))
+                   .agg(F.max("n").alias("m")).collect()[0]["m"]) or 0
+            metrics["max_bnode_degree"] = int(deg)
+            salt_buckets = 0 if deg < (1 << 17) else \
+                min(256, int(deg) >> 15)
     metrics["salt_buckets"] = int(salt_buckets)
 
     CK = ["ck0", "ck1"]
@@ -516,25 +589,32 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         resolved = [res_df] if res_df is not None else []
         kernel_parts = [kern_df] if kern_df is not None else []
         active = conv_prev.select(*CK).localCheckpoint(True)
+        n_act = conv_prev.count()
+        n_lab_rows = lab.count()
     else:
+        # node_comp already holds exactly one row per (graph, bnode): the
+        # initial colour table is pure codegen over it — no distinct
+        # exchange over the edge endpoints
+        lc0, lc1 = _ikey("graph_id", "comp")
+        lb0, lb1 = _ikey("graph_id", "bnode")
         lab = (
-            btri.select("ck0", "ck1", F.col("ks0").alias("bk0"),
-                        F.col("ks1").alias("bk1"))
-            .where(is_bnode_col("subj"))
-            .union(btri.select("ck0", "ck1", F.col("ko0").alias("bk0"),
-                               F.col("ko1").alias("bk1"))
-                   .where(is_bnode_col("obj")))
-            .distinct()
+            node_comp.select(lc0.alias("ck0"), lc1.alias("ck1"),
+                             lb0.alias("bk0"), lb1.alias("bk1"))
             .withColumn("h0", F.lit(blank_pair[0]))
             .withColumn("h1", F.lit(blank_pair[1]))
         ).localCheckpoint(True)
 
         conv_prev = lab.groupBy(*CK).agg(F.lit(1).alias("prev_nc"))
+        # free upper bound for round-1 broadcast decisions (components ≤
+        # bnodes); the exact count lands in metrics after round 1
+        n_act = n_bnodes
+        n_lab_rows = n_bnodes
 
         resolved: list[DataFrame] = []
         kernel_parts: list[DataFrame] = []
         active = None  # None = every component is active
         it = 0
+    metrics["n_components"] = n_act
     # per-iteration observability: one entry per round with component
     # status counts and wall times (the "per-partition lineage + metrics"
     # north_rule line, at fixpoint granularity)
@@ -543,27 +623,36 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         it += 1
         _it_t0 = _time.time()
         sm = static_msgs if active is None else \
-            static_msgs.join(active, CK, "left_semi")
-        msgs = _iteration_messages(sm, bb_edges, lab)
+            static_msgs.join(_mb(active, n_act, broadcast_rows),
+                             CK, "left_semi")
+        msgs = _iteration_messages(sm, bb_edges, lab, n_lab_rows,
+                                   broadcast_rows)
         new_lab = _next_colors(msgs, lab, salt_buckets).localCheckpoint(True)
         _fold_s = round(_time.time() - _it_t0, 3)
 
-        # convergence + refinement audit in ONE aggregation: the fold
+        # convergence + refinement audit riding the fold output: the fold
         # passes each bnode's previous colour through (oh columns), so we
         # verify every round strictly REFINES the partition (each new
-        # class lies inside one old class ⇔ countDistinct(old,new) ==
-        # countDistinct(new)) with no extra join.  An md5 collision that
-        # merges classes while the component still grows would otherwise
-        # keep status 'active' and silently diverge from the oracle
-        # (GraphColouring.java:563-635 recovers deterministically — here
-        # violating components route to the kernel, which has that
-        # recovery)
+        # class lies inside one old class ⇔ #distinct(old,new) pairs ==
+        # #distinct new) with no extra join against the previous state.
+        # An md5 collision that merges classes while the component still
+        # grows would otherwise keep status 'active' and silently diverge
+        # from the oracle (GraphColouring.java:563-635 recovers
+        # deterministically — here violating components route to the
+        # kernel, which has that recovery).  Staged two-level aggregation
+        # instead of multi-countDistinct: Spark plans the latter as an
+        # Expand that triples the bnode rows before the exchange, while
+        # these stages collapse rows map-side at every step.
+        pair_cnt = (new_lab.groupBy(*CK, "oh0", "oh1", "h0", "h1")
+                    .agg(F.count("*").alias("npair")))
+        newc = (pair_cnt.groupBy(*CK, "h0", "h1")
+                .agg(F.sum("npair").alias("nb_h"),
+                     F.count("*").alias("n_old")))
         conv = (
-            new_lab.groupBy(*CK)
-            .agg(F.countDistinct("h0", "h1").alias("nc"),
-                 F.countDistinct("oh0", "oh1", "h0", "h1").alias("ncross"),
-                 F.count("*").alias("nb"))
-            .join(conv_prev, CK)
+            newc.groupBy(*CK)
+            .agg(F.count("*").alias("nc"), F.sum("nb_h").alias("nb"),
+                 F.sum("n_old").alias("ncross"))
+            .join(_mb(conv_prev, n_act, broadcast_rows), CK)
             .withColumn("status",
                         F.when(F.col("ncross") != F.col("nc"), "stalled")
                         .when(F.col("nc") == F.col("nb"), "discrete")
@@ -571,8 +660,12 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                         .otherwise("active"))
         ).localCheckpoint(True)
 
-        counts = {r["status"]: r["n"] for r in
-                  conv.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        crows = conv.groupBy("status").agg(F.count("*").alias("n"),
+                                           F.sum("nb").alias("b")).collect()
+        counts = {r["status"]: int(r["n"]) for r in crows}
+        bcounts = {r["status"]: int(r["b"]) for r in crows}
+        if it == 1 and restored is None:
+            metrics["n_components"] = sum(counts.values())
         iter_log.append({"iteration": it,
                          "t_fold_s": _fold_s,
                          "t_conv_s": round(_time.time() - _it_t0 - _fold_s,
@@ -583,9 +676,12 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
 
         if counts.get("discrete"):
             resolved.append(new_lab.drop("oh0", "oh1")
-                            .join(done_comps, CK, "left_semi"))
+                            .join(_mb(done_comps, counts["discrete"],
+                                      broadcast_rows), CK, "left_semi"))
         if counts.get("stalled"):
-            kernel_parts.append(btri.join(stall_comps, CK, "left_semi"))
+            kernel_parts.append(btri.join(
+                _mb(stall_comps, counts["stalled"], broadcast_rows),
+                CK, "left_semi"))
 
         n_active = counts.get("active", 0)
         if n_active == 0 or it >= max_iterations:
@@ -594,16 +690,20 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                 # reference uses wall-clock timeouts per document,
                 # RunNQuadsTest.java:76)
                 kernel_parts.append(btri.join(
-                    conv.where(F.col("status") == "active").select(*CK),
+                    _mb(conv.where(F.col("status") == "active")
+                        .select(*CK), n_active, broadcast_rows),
                     CK, "left_semi"))
                 metrics["over_budget_comps"] = n_active
             break
 
         active = conv.where(F.col("status") == "active").select(*CK)
-        lab = new_lab.drop("oh0", "oh1").join(active, CK, "left_semi") \
-                     .localCheckpoint(True)
+        lab = new_lab.drop("oh0", "oh1") \
+            .join(_mb(active, n_active, broadcast_rows), CK, "left_semi") \
+            .localCheckpoint(True)
         conv_prev = conv.where(F.col("status") == "active") \
             .select(*CK, F.col("nc").alias("prev_nc"))
+        n_act = n_active
+        n_lab_rows = bcounts.get("active", 0)
 
         if ckpt is not None and it % checkpoint_every == 0:
             res_u = resolved[0] if resolved else None
@@ -640,30 +740,43 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     for p in parts[1:]:
         leaf = leaf.union(p)
     leaf = leaf.localCheckpoint(True)
+    n_leaf = leaf.count()
+    # per-component broadcast bound: exact after a fresh round 1; on a
+    # resumed run only the still-active count was seen, so fall back to
+    # the safe per-bnode upper bound (components ≤ bnodes)
+    n_comps = metrics["n_components"] if restored is None else n_leaf
     metrics["t_leaf_kernel_s"] = round(_time.time() - _t0, 3)
     _t0 = _time.time()
 
     # ---- per-component canonical hash + mux (GraphColouring.java:121-168,
     # GraphLabelling.java:100-119) ----------------------------------------
-    # btrij: triples decorated with their endpoints' leaf colours, joined
-    # on interned long keys; reused by BOTH the component hash and the
-    # fused relabel below (the string-keyed tri ⋈ labels joins are gone)
-    slab = leaf.select(F.col("bk0").alias("_s0"), F.col("bk1").alias("_s1"),
-                       F.col("h0").alias("sc0"), F.col("h1").alias("sc1"))
-    olab = leaf.select(F.col("bk0").alias("_o0"), F.col("bk1").alias("_o1"),
-                       F.col("h0").alias("oc0"), F.col("h1").alias("oc1"))
+    # btrij: triple hash columns decorated with their endpoints' leaf
+    # colours, joined on interned long keys — all fixed-width longs, no
+    # strings; consumed once by the per-triple hash below.  leaf is
+    # per-bnode (≪ triples): broadcast when it fits so the decoration is
+    # map-side and btri is never re-exchanged — the distributed analogue
+    # of GraphColouring.labelBlankNodes's O(triples) single pass over an
+    # in-memory colour map (GraphColouring.java:433-451); above
+    # broadcast_rows both joins fall back to shuffles.
+    slab = _mb(
+        leaf.select(F.col("bk0").alias("_s0"), F.col("bk1").alias("_s1"),
+                    F.col("h0").alias("sc0"), F.col("h1").alias("sc1")),
+        n_leaf, broadcast_rows)
+    olab = _mb(
+        leaf.select(F.col("bk0").alias("_o0"), F.col("bk1").alias("_o1"),
+                    F.col("h0").alias("oc0"), F.col("h1").alias("oc1")),
+        n_leaf, broadcast_rows)
     btrij = (
         btri
         .join(slab, on=[btri.ks0 == slab._s0, btri.ks1 == slab._s1],
               how="left").drop("_s0", "_s1")
         .join(olab, on=[btri.ko0 == olab._o0, btri.ko1 == olab._o1],
               how="left").drop("_o0", "_o1")
-        .select("graph_id", "subj", "pred", "obj", "ck0", "ck1",
-                "p0", "p1", "ss0", "ss1", "os0", "os1",
+        .select("ck0", "ck1", "p0", "p1", "ss0", "ss1", "os0", "os1",
                 "sc0", "sc1", "oc0", "oc1")
-    ).localCheckpoint(True)
+    )
 
-    tm = combine3_pairs_udf(
+    tm0, tm1 = combine3_pairs_sql(
         F.coalesce("sc0", "ss0"), F.coalesce("sc1", "ss1"),
         F.col("p0"), F.col("p1"),
         F.coalesce("oc0", "os0"), F.coalesce("oc1", "os1"))
@@ -671,15 +784,17 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # have distinct (t0, t1) because leaf colours are injective, so this
     # 4-long dropDuplicates IS triple dedup, far narrower than shuffling
     # the string triples)
-    th = btrij.select("ck0", "ck1", tm.getField("h0").alias("t0"),
-                      tm.getField("h1").alias("t1")) \
-        .dropDuplicates().localCheckpoint(True)
+    th = btrij.select("ck0", "ck1", tm0.alias("t0"), tm1.alias("t1")) \
+        .dropDuplicates()
     cd0, cd1 = _ikey("graph_id", "comp")
     comp_dict = (node_comp.select("graph_id", "comp").distinct()
                  .withColumn("ck0", cd0).withColumn("ck1", cd1))
-    ghc = unordered_sum_pairs(th, ["ck0", "ck1"], "t0", "t1",
-                              "g0", "g1", extra_init=blank_pair) \
-        .join(comp_dict, ["ck0", "ck1"])
+    # the component hash fold also emits the component's triple count
+    # (nt) from the same two passes — no separate aggregation over th
+    ghc = unordered_sum_pairs_sql(th, ["ck0", "ck1"], "t0", "t1",
+                                  "g0", "g1", extra_init=blank_pair,
+                                  count_col="nt") \
+        .join(_mb(comp_dict, n_comps, broadcast_rows), ["ck0", "ck1"])
 
     # duplicate-component key: with set-semantic input (deduped above) and
     # injective leaf colours, (g0, g1) is the unordered fold over the
@@ -687,13 +802,11 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # analogue of the oracle's graphs_seen TreeSet equality
     # (GraphLabelling.java:100-119); (nt, nb) guard the astronomically
     # rare md5 digest collision between non-isomorphic components
-    sizes = (th.groupBy("ck0", "ck1").agg(F.count("*").alias("nt"))
-             .join(leaf.groupBy("ck0", "ck1")
-                   .agg(F.count("*").alias("nb")), ["ck0", "ck1"]))
+    sizes = leaf.groupBy("ck0", "ck1").agg(F.count("*").alias("nb"))
     dup_w = Window.partitionBy("graph_id", "g0", "g1", "nt", "nb") \
                   .orderBy("comp")
     comp_mux = (
-        ghc.join(sizes, ["ck0", "ck1"])
+        ghc.join(_mb(sizes, n_comps, broadcast_rows), ["ck0", "ck1"])
         .withColumn("rank", F.row_number().over(dup_w))
         # duplicate mux ints: first copy 0, then count+1 = 2, 3, ...
         # (GraphLabelling.java:100-119 passing count+1 to getCanonicalGraph)
@@ -703,10 +816,12 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         .withColumn("contributes",
                     F.lit(True) if dip else (F.col("rank") == 1))
         .withColumn("mx", hash_int_udf(F.col("mux_i")))
-        .withColumn("cb", combine2_pairs_udf("g0", "g1", "mx.h0", "mx.h1"))
-        .select("graph_id", "ck0", "ck1", F.col("cb.h0").alias("cb0"),
-                F.col("cb.h1").alias("cb1"), "contributes")
+        .select("graph_id", "ck0", "ck1", "contributes",
+                *(c.alias(n) for c, n in zip(combine2_pairs_sql(
+                    "g0", "g1", F.col("mx.h0"), F.col("mx.h1")),
+                    ("cb0", "cb1"))))
     ).localCheckpoint(True)
+    metrics["t_comp_mux_s"] = round(_time.time() - _t0, 3)
 
     # ---- upg: graph-level unique hash (GraphLabelling.java:137-150),
     # merged into the per-component mux table so every downstream consumer
@@ -716,68 +831,75 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         gs0, gs1 = tp(F.col("subj"))
         gp0, gp1 = tp(F.col("pred"))
         go0, go1 = tp(F.col("obj"))
-        gm = combine3_pairs_udf("a0", "a1", "b0", "b1", "c0", "c1")
+        gm0, gm1 = combine3_pairs_sql("a0", "a1", "b0", "b1", "c0", "c1")
         ground_th = (ground.select(
             "graph_id", gs0.alias("a0"), gs1.alias("a1"),
             gp0.alias("b0"), gp1.alias("b1"),
             go0.alias("c0"), go1.alias("c1"))
-            .select("graph_id", gm.getField("h0").alias("t0"),
-                    gm.getField("h1").alias("t1"))
+            .select("graph_id", gm0.alias("t0"), gm1.alias("t1"))
             .dropDuplicates())
         comb_h = comp_mux.where("contributes").select(
             "graph_id", F.col("cb0").alias("t0"), F.col("cb1").alias("t1"))
-        ghash = unordered_sum_pairs(ground_th.union(comb_h), ["graph_id"],
-                                    "t0", "t1", "gh0", "gh1",
-                                    extra_init=blank_pair)
-        mux = comp_mux.join(ghash, "graph_id") \
+        ghash = unordered_sum_pairs_sql(ground_th.union(comb_h),
+                                        ["graph_id"], "t0", "t1",
+                                        "gh0", "gh1",
+                                        extra_init=blank_pair)
+        # per-graph table, rows ≤ n_components
+        mux = comp_mux.join(_mb(ghash, n_comps, broadcast_rows),
+                            "graph_id") \
             .select("ck0", "ck1", "cb0", "cb1", "gh0", "gh1")
 
         def final_pair(h0, h1):
-            return combine3_pairs_udf(h0, h1, F.col("cb0"), F.col("cb1"),
+            return combine3_pairs_sql(h0, h1, F.col("cb0"), F.col("cb1"),
                                       F.col("gh0"), F.col("gh1"))
     else:
         mux = comp_mux.select("ck0", "ck1", "cb0", "cb1")
 
         def final_pair(h0, h1):
-            return combine2_pairs_udf(h0, h1, F.col("cb0"), F.col("cb1"))
+            return combine2_pairs_sql(h0, h1, F.col("cb0"), F.col("cb1"))
 
+    # final per-bnode label: ONE final_pair fold over the per-bnode leaf
+    # table — the final colour is a pure function of (leaf colour,
+    # component mux row), so computing it per triple occurrence (as a
+    # fused in-row relabel would) repeats the same fold once per edge
+    fc0, fc1 = final_pair(F.col("h0"), F.col("h1"))
+    leaf_final = (
+        leaf.join(_mb(mux, n_comps, broadcast_rows), ["ck0", "ck1"])
+        .select("bk0", "bk1",
+                F.concat(F.lit("_:SK00"), pair_hex(fc0, fc1))
+                .alias("label"))
+    ).localCheckpoint(True)
     # bnode decode dictionary: the CC node table already holds one row per
     # distinct (graph, bnode) and is checkpointed — attach keys by codegen,
     # no extra distinct shuffle
     dk0, dk1 = _ikey("graph_id", "bnode")
     bnode_dict = node_comp.select("graph_id", "bnode",
                                   dk0.alias("bk0"), dk1.alias("bk1"))
-    fc = final_pair(F.col("h0"), F.col("h1"))
-    labels = (
-        leaf.join(mux, ["ck0", "ck1"])
-        .withColumn("fc", fc)
-        .join(bnode_dict, ["bk0", "bk1"])
-        .select("graph_id", "bnode",
-                F.concat(F.lit("_:SK00"),
-                         pair_hex(F.col("fc.h0"), F.col("fc.h1")))
-                .alias("label"))
-    ).localCheckpoint(True)
+    labels = (leaf_final
+              .join(_mb(bnode_dict, n_bnodes, broadcast_rows),
+                    ["bk0", "bk1"])
+              .select("graph_id", "bnode", "label"))
     metrics["t_mux_s"] = round(_time.time() - _t0, 3)
 
-    # ---- fused relabel (GraphColouring.labelBlankNodes): the final colour
-    # is computed IN-ROW from the already-joined leaf colours + the compact
-    # per-component mux — no triple ⋈ labels string joins ------------------
-    sfc = final_pair(F.coalesce("sc0", F.lit(0)), F.coalesce("sc1", F.lit(0)))
-    ofc = final_pair(F.coalesce("oc0", F.lit(0)), F.coalesce("oc1", F.lit(0)))
+    # ---- relabel (GraphColouring.labelBlankNodes): two map-side joins of
+    # the original triples against the per-bnode label dictionary on
+    # interned long keys — no per-triple hash folds, no string-keyed joins
+    sl = _mb(leaf_final.select(F.col("bk0").alias("_s0"),
+                               F.col("bk1").alias("_s1"),
+                               F.col("label").alias("_slab")),
+             n_leaf, broadcast_rows)
+    ol = _mb(leaf_final.select(F.col("bk0").alias("_o0"),
+                               F.col("bk1").alias("_o1"),
+                               F.col("label").alias("_olab")),
+             n_leaf, broadcast_rows)
     labelled = (
-        btrij.join(mux, ["ck0", "ck1"])
-        .withColumn("sfc", sfc).withColumn("ofc", ofc)
-        .select(
-            "graph_id",
-            F.when(F.col("sc0").isNotNull(),
-                   F.concat(F.lit("_:SK00"),
-                            pair_hex(F.col("sfc.h0"), F.col("sfc.h1"))))
-            .otherwise(F.col("subj")).alias("subj"),
-            "pred",
-            F.when(F.col("oc0").isNotNull(),
-                   F.concat(F.lit("_:SK00"),
-                            pair_hex(F.col("ofc.h0"), F.col("ofc.h1"))))
-            .otherwise(F.col("obj")).alias("obj"))
+        btri
+        .join(sl, on=[btri.ks0 == sl._s0, btri.ks1 == sl._s1], how="left")
+        .join(ol, on=[btri.ko0 == ol._o0, btri.ko1 == ol._o1], how="left")
+        .select("graph_id",
+                F.coalesce("_slab", "subj").alias("subj"),
+                "pred",
+                F.coalesce("_olab", "obj").alias("obj"))
         .union(ground)
         .dropDuplicates()
     )

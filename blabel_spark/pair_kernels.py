@@ -77,6 +77,60 @@ def pair_from_lanes_sql(lanes: list[Column]) -> tuple[Column, Column]:
 
 
 # ---------------------------------------------------------------------------
+# whole-stage-codegen combineOrdered: the same per-byte-lane arithmetic as
+# the Arrow kernels below, but as shift/mask long expressions the JVM
+# executes inline — no Python worker roundtrip, no Arrow serialization.
+# Used wherever a combine is applied row-wise outside the sorted fold
+# (per-triple hashes, message construction, final label folds); the
+# segmented variable-length fold itself stays numpy (_fold_partition).
+# ---------------------------------------------------------------------------
+
+def _sql_lanes(h0: Column, h1: Column) -> list[Column]:
+    out = []
+    for c in (h0, h1):
+        raw = c.bitwiseXOR(F.lit(MIN_LONG))
+        for i in range(8):
+            out.append(F.shiftrightunsigned(raw, (7 - i) * 8)
+                       .bitwiseAND(F.lit(255)))
+    return out
+
+
+def _sql_pair(lanes: list[Column]) -> tuple[Column, Column]:
+    def asm(ls):
+        r = None
+        for i, c in enumerate(ls):
+            t = F.shiftleft(c, (7 - i) * 8)
+            r = t if r is None else r.bitwiseOR(t)
+        return r.bitwiseXOR(F.lit(MIN_LONG))
+    return asm(lanes[:8]), asm(lanes[8:])
+
+
+def combine2_pairs_sql(a0, a1, b0, b1) -> tuple[Column, Column]:
+    """combineOrdered(a, b): per lane (a*37 ^ b) mod 256 — pure codegen."""
+    M, T = F.lit(255), F.lit(37)
+    la = _sql_lanes(_c(a0), _c(a1))
+    lb = _sql_lanes(_c(b0), _c(b1))
+    r = [(x * T).bitwiseAND(M).bitwiseXOR(y) for x, y in zip(la, lb)]
+    return _sql_pair(r)
+
+
+def combine3_pairs_sql(a0, a1, b0, b1, c0, c1) -> tuple[Column, Column]:
+    """combineOrdered(a, b, c): ((a*37 ^ b)*37 ^ c) per lane mod 256."""
+    M, T = F.lit(255), F.lit(37)
+    la = _sql_lanes(_c(a0), _c(a1))
+    lb = _sql_lanes(_c(b0), _c(b1))
+    lc = _sql_lanes(_c(c0), _c(c1))
+    r = [((x * T).bitwiseAND(M).bitwiseXOR(y) * T).bitwiseAND(M)
+         .bitwiseXOR(z) for x, y, z in zip(la, lb, lc)]
+    return _sql_pair(r)
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else \
+        (F.lit(x) if isinstance(x, int) else x)
+
+
+# ---------------------------------------------------------------------------
 # Arrow-batched scalar kernels
 # ---------------------------------------------------------------------------
 
@@ -110,13 +164,20 @@ def combine2_pairs_udf(a0: pd.Series, a1: pd.Series, b0: pd.Series,
 
 
 def hash_int_pair_udf_for(hash_name: str):
-    """Guava hashInt as a stored pair, for any 16-byte hash family."""
+    """Guava hashInt as a stored pair, for any 16-byte hash family.
+
+    Inputs are duplicate-mux ranks (0, 2, 3, …) — a handful of distinct
+    values across millions of rows — so the digest is computed once per
+    DISTINCT value and broadcast back by pandas map."""
     @F.pandas_udf(PAIR)
     def f(i: pd.Series) -> pd.DataFrame:
         from blabel_spark.hashing import enc_pair, get_hash_family
         hf = get_hash_family(hash_name)
-        pairs = [enc_pair(hf.hash_int(int(v))) for v in i]
-        return pd.DataFrame(pairs, columns=["h0", "h1"])
+        memo = {int(v): enc_pair(hf.hash_int(int(v)))
+                for v in i.unique()}
+        h0 = i.map(lambda v: memo[int(v)][0])
+        h1 = i.map(lambda v: memo[int(v)][1])
+        return pd.DataFrame({"h0": h0, "h1": h1})
     return f
 
 
@@ -253,20 +314,51 @@ def fold_messages(msgs: DataFrame, num_partitions: int | None = None
 # combineUnordered aggregation: numpy partial lane sums + JVM merge
 # ---------------------------------------------------------------------------
 
+def unordered_sum_pairs_sql(df: DataFrame, keys: list[str], h0: str, h1: str,
+                            out0: str, out1: str,
+                            extra_init: tuple[int, int] | None = None,
+                            count_col: str | None = None) -> DataFrame:
+    """groupBy(keys) combineUnordered over stored pairs — pure JVM.
+
+    Byte lanes come out of the stored longs as shift/mask codegen
+    expressions and aggregate as 16 ``sum`` buffers (128 B per group,
+    map-side partial combine for free) — one hash aggregate, no Python
+    worker, no Arrow.  Semantically identical to ``unordered_sum_pairs``
+    (per-lane sums mod 256, optional seed / group count)."""
+    lanes = _sql_lanes(_c(h0), _c(h1))
+    aggs = [F.sum(c) for c in lanes]
+    if extra_init is not None:
+        from blabel_spark.hashing import pairs_to_lanes as p2l
+        init = p2l(np.array([extra_init[0]], dtype=np.int64),
+                   np.array([extra_init[1]], dtype=np.int64))[0]
+        aggs = [a + int(init[i]) for i, a in enumerate(aggs)]
+    aggs = [(a % 256).alias(f"_s{i}") for i, a in enumerate(aggs)]
+    if count_col:
+        aggs.append(F.count("*").alias(count_col))
+    merged = df.groupBy(*keys).agg(*aggs)
+    p0, p1 = _sql_pair([F.col(f"_s{i}") for i in range(16)])
+    extra = [count_col] if count_col else []
+    return merged.select(*keys, p0.alias(out0), p1.alias(out1), *extra)
+
 def unordered_sum_pairs(df: DataFrame, keys: list[str], h0: str, h1: str,
                         out0: str, out1: str,
-                        extra_init: tuple[int, int] | None = None) -> DataFrame:
+                        extra_init: tuple[int, int] | None = None,
+                        count_col: str | None = None) -> DataFrame:
     """groupBy(keys) combineUnordered over stored pairs.
 
     Stage 1 (mapInPandas): per Arrow batch, pandas-groupby partial sums of
     the 16 byte lanes — map-side combine without JVM objects.
     Stage 2 (JVM): sum the partial lanes, mod 256, reassemble the pair.
     ``extra_init`` seeds every group (the reference's blank-hash seed,
-    HashGraph.java:166)."""
+    HashGraph.java:166).  ``count_col`` additionally emits the group's row
+    count, riding the same two passes (saves consumers a separate
+    aggregation over the full input)."""
     lane_cols = [f"_l{i}" for i in range(16)]
     ktypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = ", ".join(f"{k} {ktypes[k]}" for k in keys) + ", " + \
         ", ".join(f"{c} long" for c in lane_cols)
+    if count_col:
+        schema += ", _cnt long"
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -274,6 +366,8 @@ def unordered_sum_pairs(df: DataFrame, keys: list[str], h0: str, h1: str,
                 continue
             lanes = pairs_to_lanes(_np(pdf[h0]), _np(pdf[h1]))
             d = pd.DataFrame(lanes.astype(np.int64), columns=lane_cols)
+            if count_col:
+                d["_cnt"] = np.int64(1)
             for k in keys:
                 d[k] = pdf[k].to_numpy()
             yield d.groupby(keys, as_index=False, sort=False).sum()
@@ -286,6 +380,9 @@ def unordered_sum_pairs(df: DataFrame, keys: list[str], h0: str, h1: str,
                    np.array([extra_init[1]], dtype=np.int64))[0]
         aggs = [a + int(init[i]) for i, a in enumerate(aggs)]
     aggs = [(a % 256).cast("int").alias(f"_s{i}") for i, a in enumerate(aggs)]
+    if count_col:
+        aggs.append(F.sum("_cnt").alias(count_col))
     merged = part.groupBy(*keys).agg(*aggs)
     p0, p1 = pair_from_lanes_sql([F.col(f"_s{i}") for i in range(16)])
-    return merged.select(*keys, p0.alias(out0), p1.alias(out1))
+    extra = [count_col] if count_col else []
+    return merged.select(*keys, p0.alias(out0), p1.alias(out1), *extra)
