@@ -112,24 +112,35 @@ def _solutions(gtriples: DataFrame, patterns: list[tuple[str, str, str]],
 
 
 def bfs_lean_graph(spark: SparkSession, gtriples: DataFrame,
-                   max_rows: int = 2_000_000
+                   max_rows: int = 2_000_000,
+                   max_patterns: int = 5_000
                    ) -> tuple[DataFrame, dict[str, str]]:
     """Lean ONE graph (gtriples: subj/pred/obj of a single graph)
     distributed.  Returns (lean triples DataFrame, composed core map).
 
     Raises BFSBudgetExceeded when the solution table outgrows
     ``max_rows`` (the caller flags and passes the graph through, as the
-    reference does on per-document timeout, RunNQuadsTest.java:296-320).
+    reference does on per-document timeout, RunNQuadsTest.java:296-320),
+    or when the graph has more than ``max_patterns`` bnode triples: the
+    pattern list is a driver-side object that drives one chained join
+    per pattern, so it must stay small — a graph that large is *big*,
+    not combinatorially hard, which is the trivial pre-pass's regime,
+    not this solver's.  The bound makes the driver-side collect loud
+    and O(max_patterns) instead of O(graph).
     """
     core: dict[str, str] = {}
     current = gtriples.select("subj", "pred", "obj").dropDuplicates() \
                       .localCheckpoint(True)
     while True:
-        patterns = [
-            (r["subj"], r["pred"], r["obj"])
-            for r in current.where(
-                F.col("subj").startswith("_:")
-                | F.col("obj").startswith("_:")).collect()]
+        prows = (current.where(F.col("subj").startswith("_:")
+                               | F.col("obj").startswith("_:"))
+                 .limit(max_patterns + 1).collect())
+        if len(prows) > max_patterns:
+            raise BFSBudgetExceeded(
+                f"graph has > {max_patterns} blank-node triples — too "
+                "large for the BFS pattern-join solver (route it through "
+                "trivial_prepass / pass-through instead)")
+        patterns = [(r["subj"], r["pred"], r["obj"]) for r in prows]
         if not patterns:
             break
         bnodes = sorted({t for s, _, o in patterns for t in (s, o)

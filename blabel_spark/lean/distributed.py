@@ -110,16 +110,21 @@ def trivial_prepass(spark: SparkSession, triples: DataFrame,
         wit_parts.append(accepted.select(
             "graph_id", F.col("x").alias("bnode"),
             F.col("y").alias("target")))
-        sm = accepted.select("graph_id", F.col("x").alias("_sb"),
+        # accepted shares lineage (and therefore attribute ids) with cur,
+        # so the mapping application renames its join keys outright —
+        # df.col-based self-join disambiguation is not reliable here
+        sm = accepted.select(F.col("graph_id").alias("_sg"),
+                             F.col("x").alias("_sb"),
                              F.col("y").alias("_st"))
-        om = accepted.select("graph_id", F.col("x").alias("_ob"),
+        om = accepted.select(F.col("graph_id").alias("_og"),
+                             F.col("x").alias("_ob"),
                              F.col("y").alias("_ot"))
-        cur = (cur.join(sm, on=[cur.graph_id == sm.graph_id,
-                                cur.subj == sm._sb], how="left")
-               .drop(sm.graph_id).drop("_sb")
-               .join(om, on=[cur.graph_id == om.graph_id,
-                             cur.obj == om._ob], how="left")
-               .drop(om.graph_id).drop("_ob")
+        cur = (cur.join(sm, on=[F.col("graph_id") == F.col("_sg"),
+                                F.col("subj") == F.col("_sb")], how="left")
+               .drop("_sg", "_sb")
+               .join(om, on=[F.col("graph_id") == F.col("_og"),
+                             F.col("obj") == F.col("_ob")], how="left")
+               .drop("_og", "_ob")
                .select("graph_id",
                        F.coalesce("_st", "subj").alias("subj"), "pred",
                        F.coalesce("_ot", "obj").alias("obj"))
@@ -131,12 +136,14 @@ def trivial_prepass(spark: SparkSession, triples: DataFrame,
         # transitive composition (GraphLeaning.transitiveClosure:448-483):
         # a pass-k target may itself be remapped in a later pass; chain
         # length is bounded by the pass count
-        m = wit.select("graph_id", F.col("bnode").alias("_b"),
+        m = wit.select(F.col("graph_id").alias("_mg"),
+                       F.col("bnode").alias("_b"),
                        F.col("target").alias("_t")).localCheckpoint(True)
         for _ in range(len(wit_parts)):
-            wit = (wit.join(m, on=[wit.graph_id == m.graph_id,
-                                   wit.target == m._b], how="left")
-                   .drop(m.graph_id).drop("_b")
+            wit = (wit.join(m, on=[F.col("graph_id") == F.col("_mg"),
+                                   F.col("target") == F.col("_b")],
+                            how="left")
+                   .drop("_mg", "_b")
                    .select("graph_id", "bnode",
                            F.coalesce("_t", "target").alias("target")))
     else:
@@ -175,30 +182,65 @@ def lean_graphs(spark: SparkSession, triples: DataFrame,
                 bfs_fallback: bool = True,
                 kernel_budget: int = 200_000,
                 bfs_max_rows: int = 2_000_000,
-                prepass: bool = False
+                prepass: bool | str = "auto",
+                kernel_graph_rows: int = 100_000,
+                max_bfs_graphs: int = 64
                 ) -> tuple[DataFrame, DataFrame]:
     """Returns (lean_triples, witness) DataFrames.
 
     lean_triples: (graph_id, subj, pred, obj) — the per-graph cores.
     witness:      (graph_id, bnode, target) — complete core maps.
 
-    ``prepass=True`` runs the distributed trivial-non-lean filter first
-    (for corpora whose graphs are too large to hand a task whole); its
-    witness composes with the kernel's.
+    Scale routing (``prepass="auto"``, the default): one size probe
+    decides the ladder, mirroring ``canonicalize(route="auto")``.  When
+    every graph fits a task (≤ ``kernel_graph_rows`` rows) the corpus
+    goes straight to the per-graph DFS kernel — the reference's
+    per-document regime.  Otherwise the distributed trivial-non-lean
+    filter runs FIRST (the reference's staged stack runs its trivial
+    stage unconditionally before search, GraphLeaning.java:121-140),
+    shrinking oversized graphs before any kernel sees them; graphs
+    still over the threshold afterwards never enter ``applyInPandas``
+    (a merely-huge graph would otherwise OOM one task) — they go to
+    the BFS solver when their residual pattern count permits, else
+    pass through flagged.  ``prepass=True``/``False`` forces the stage
+    on/off.
 
     Graphs whose DFS kernel search exceeds its budget (combinatorially
     hard, not merely large) are re-run through the distributed BFS
     join-chain solver (lean.bfs) when ``bfs_fallback`` — its huge
     partial-solution table is sharded across executors, which is exactly
-    the resource the single-task kernel lacks.  A graph that exhausts
-    BOTH budgets passes through unleaned with a ``__budget_exceeded__``
-    witness row.
+    the resource the single-task kernel lacks.  The driver processes at
+    most ``max_bfs_graphs`` such graphs (each is a driver-coordinated
+    join chain); any beyond the cap — and any graph that exhausts BOTH
+    budgets — passes through unleaned with a ``__budget_exceeded__``
+    witness row, the reference's per-document timeout behaviour
+    (RunNQuadsTest.java:296-320).  No driver-side collect in this
+    function is larger than ``max_bfs_graphs`` ids + the witness maps.
     """
+    tri = triples.select("graph_id", "subj", "pred", "obj")
     pre_wit = None
-    if prepass:
-        triples, pre_wit = trivial_prepass(spark, triples)
-    out = (triples.select("graph_id", "subj", "pred", "obj")
-           .groupBy("graph_id")
+    if prepass == "auto":
+        biggest = (tri.groupBy("graph_id").agg(F.count("*").alias("n"))
+                   .agg(F.max("n").alias("m")).collect()[0]["m"]) or 0
+        run_pre = biggest > kernel_graph_rows
+    else:
+        run_pre = bool(prepass)
+        biggest = None
+    if run_pre:
+        tri, pre_wit = trivial_prepass(spark, tri)
+
+    # graphs still too large for one task bypass the kernel entirely
+    if run_pre or biggest is None or biggest > kernel_graph_rows:
+        big_ids = (tri.groupBy("graph_id").agg(F.count("*").alias("n"))
+                   .where(F.col("n") > kernel_graph_rows)
+                   .select("graph_id").localCheckpoint(True))
+        n_big = big_ids.count()
+    else:
+        big_ids, n_big = None, 0
+
+    small = tri if not n_big else \
+        tri.join(F.broadcast(big_ids), "graph_id", "left_anti")
+    out = (small.groupBy("graph_id")
            .applyInPandas(_kernel_fn(kernel_budget), _OUT_SCHEMA)
            ).localCheckpoint(True)
     lean = (out.where(F.col("kind") == "t")
@@ -208,18 +250,33 @@ def lean_graphs(spark: SparkSession, triples: DataFrame,
                .select("graph_id", F.col("a").alias("bnode"),
                        F.col("b").alias("target")))
 
+    # bounded collect: kernel-flagged (hard) graphs first — they are the
+    # BFS solver's intended case — then oversized ones, up to the cap
     over = [r["graph_id"] for r in
             out.where((F.col("kind") == "w")
                       & (F.col("a") == "__budget_exceeded__"))
-            .select("graph_id").distinct().collect()]
-    if over and bfs_fallback:
+            .select("graph_id").distinct()
+            .limit(max_bfs_graphs + 1).collect()]
+    big_list = [] if big_ids is None else \
+        [r["graph_id"] for r in big_ids.limit(max_bfs_graphs + 1).collect()]
+    todo = []
+    if bfs_fallback:
+        todo = sorted(over)[:max_bfs_graphs]
+        todo += sorted(set(big_list) - set(todo))[:max_bfs_graphs - len(todo)]
+
+    if todo:
         from blabel_spark.lean.bfs import BFSBudgetExceeded, bfs_lean_graph
-        lean = lean.where(~F.col("graph_id").isin(over))
-        witness = witness.where(~F.col("graph_id").isin(over))
+        redo = spark.createDataFrame([(g,) for g in todo],
+                                     "graph_id string")
+        # kernel output of re-routed graphs is replaced by BFS output;
+        # anti-join against the (≤ max_bfs_graphs)-row id table, never a
+        # driver-built isin over an unbounded list
+        lean = lean.join(F.broadcast(redo), "graph_id", "left_anti")
+        witness = witness.join(F.broadcast(redo), "graph_id", "left_anti")
         extra_lean, extra_wit = [], []
-        for g in sorted(over):
-            gtri = triples.where(F.col("graph_id") == g) \
-                          .select("subj", "pred", "obj")
+        for g in todo:
+            gtri = tri.where(F.col("graph_id") == g) \
+                      .select("subj", "pred", "obj")
             try:
                 lean_df, core = bfs_lean_graph(spark, gtri,
                                                max_rows=bfs_max_rows)
@@ -235,16 +292,32 @@ def lean_graphs(spark: SparkSession, triples: DataFrame,
         if extra_wit:
             witness = witness.union(spark.createDataFrame(
                 extra_wit, "graph_id string, bnode string, target string"))
+
+    # oversized graphs NOT processed above (beyond the cap, or
+    # bfs_fallback off) pass through unleaned, flagged — id set stays a
+    # DataFrame, nothing unbounded reaches the driver
+    if n_big:
+        done = spark.createDataFrame([(g,) for g in todo],
+                                     "graph_id string") if todo else \
+            spark.createDataFrame([], "graph_id string")
+        rest = big_ids.join(F.broadcast(done), "graph_id", "left_anti")
+        lean = lean.union(
+            tri.join(F.broadcast(rest), "graph_id", "left_semi")
+            .dropDuplicates())
+        witness = witness.union(rest.select(
+            "graph_id", F.lit("__budget_exceeded__").alias("bnode"),
+            F.lit("").alias("target")))
     if pre_wit is not None:
         # compose pre-pass eliminations through the kernel's map: an
         # eliminated bnode's target may itself have been remapped by the
         # residual search
-        kw = witness.select("graph_id", F.col("bnode").alias("_b"),
+        kw = witness.select(F.col("graph_id").alias("_kg"),
+                            F.col("bnode").alias("_b"),
                             F.col("target").alias("_t"))
-        pre_comp = (pre_wit.join(kw, on=[pre_wit.graph_id == kw.graph_id,
-                                         pre_wit.target == kw._b],
+        pre_comp = (pre_wit.join(kw, on=[F.col("graph_id") == F.col("_kg"),
+                                         F.col("target") == F.col("_b")],
                                  how="left")
-                    .drop(kw.graph_id).drop("_b")
+                    .drop("_kg", "_b")
                     .select("graph_id", "bnode",
                             F.coalesce("_t", "target").alias("target")))
         witness = witness.union(pre_comp)

