@@ -93,6 +93,28 @@ def main() -> None:
     force(kg.labelled)
     timings["canonicalize_transcript_kg"] = round(time.time() - t0, 3)
 
+    # deep-fixpoint class: the derived sf corpus converges in ONE colour
+    # iteration, so it never times the loop machinery.  Long directed
+    # bnode chains (diameter 26) force ~13 refinement rounds — the
+    # per-iteration fold/convergence costs show up in iterations_log.
+    # route="fixpoint" because per-graph size routing would (correctly)
+    # send 25-triple graphs to the kernel.
+    from blabel_spark.synthetic import chain
+    n_chains = max(int(4000 * (sf / 0.1)), 50)
+    rows = []
+    for i in range(n_chains):
+        rows.extend((f"chain-{i}", s, p, o)
+                    for s, p, o in chain(26, tag=f"c{i}_"))
+    deep = spark.createDataFrame(
+        rows, "graph_id string, subj string, pred string, obj string"
+    ).localCheckpoint(True)
+    n_deep = deep.count()
+    t0 = time.time()
+    res_deep = canonicalize(spark, deep, route="fixpoint")
+    force(res_deep.labelled)
+    deep_secs = round(time.time() - t0, 3)
+    timings["canonicalize_fixpoint_deep"] = deep_secs
+
     for name in BENCH_QUERIES:
         t0 = time.time()
         force(QUERIES[name](spark, sf_dir))
@@ -115,6 +137,14 @@ def main() -> None:
                        + timings["canonicalize_transcript_kg"]), 1),
         "canon_metrics": res_fix.metrics,
         "auto_route_metrics": res.metrics,
+        "deep_fixpoint": {
+            "n_triples": n_deep,
+            "n_graphs": n_chains,
+            "secs": deep_secs,
+            "triples_per_sec": round(n_deep / deep_secs, 1),
+            "colour_iterations": res_deep.metrics["colour_iterations"],
+            "iterations_log": res_deep.metrics["iterations_log"],
+        },
     }
     print(json.dumps(out))
 

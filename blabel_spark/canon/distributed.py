@@ -697,9 +697,11 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
             break
 
         active = conv.where(F.col("status") == "active").select(*CK)
+        # lazy view over the checkpointed new_lab: both consumers (message
+        # join, previous-colour rows) rescan it through a broadcast
+        # semi-join — cheaper than materializing a fourth table per round
         lab = new_lab.drop("oh0", "oh1") \
-            .join(_mb(active, n_active, broadcast_rows), CK, "left_semi") \
-            .localCheckpoint(True)
+            .join(_mb(active, n_active, broadcast_rows), CK, "left_semi")
         conv_prev = conv.where(F.col("status") == "active") \
             .select(*CK, F.col("nc").alias("prev_nc"))
         n_act = n_active
