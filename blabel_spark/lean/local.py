@@ -127,9 +127,21 @@ def _trivial_filter(triples: set[Triple]) -> tuple[set[Triple], dict[str, str]]:
     return _apply(accepted, triples), accepted
 
 
-def _find_proper_endo(triples: set[Triple], budget: int) -> dict[str, str] | None:
+def _find_proper_endo(triples: set[Triple], budget: int,
+                      order: str = "sorted", seed: int = 0,
+                      prune: bool = True) -> dict[str, str] | None:
     """Backtracking search for a proper endomorphism h (h(G) ⊆ G, identity
     on ground, image covering strictly fewer bnodes).
+
+    ``order``/``prune`` mirror the reference's leaning config matrix
+    (GraphLeaning.java:89-105 randomised candidate order; TestFramework
+    runs ordered/random × prune/no-prune and requires one canonical core
+    across all of them, TestFramework.java:151-155,235-241):
+    ``order="random"`` shuffles each candidate pool with ``seed``;
+    ``prune=False`` drops the signature/ground-edge candidate pruning and
+    searches every node — semantics-neutral (pruning only removes
+    candidates that cannot satisfy the consistency check), so all configs
+    must produce canonically equal cores.
 
     Decomposition: if G admits a proper endomorphism h, pick a bnode b
     outside h's image and restrict h to b's connected bnode-component C,
@@ -146,7 +158,10 @@ def _find_proper_endo(triples: set[Triple], budget: int) -> dict[str, str] | Non
     consistency failures surface early (the shared-variable adjacency
     rule of the pattern ordering, GraphLeaning.java:852-913).
     """
+    import random as _random
+
     from blabel_spark.canon.local import blank_node_components
+    rng = _random.Random(seed)
     tl = sorted(triples)
     sig = _signatures(tl)
     by_sig: dict[tuple[str, str], list[str]] = {}
@@ -176,22 +191,27 @@ def _find_proper_endo(triples: set[Triple], budget: int) -> dict[str, str] | Non
         # full term scan (selectivity ordering, GraphLeaning.java:852-913)
         cands = {}
         for b in cbnodes:
-            sb = sig[b]
-            rare = min(sb, key=lambda pd: len(by_sig.get(pd, ())))
-            pool = by_sig.get(rare, [])
-            cands[b] = sorted(
-                {t for t in pool
-                 if t == b or (sb <= sig[t] and ges[b] <= ges[t])} | {b})
+            if prune:
+                sb = sig[b]
+                rare = min(sb, key=lambda pd: len(by_sig.get(pd, ())))
+                pool = by_sig.get(rare, [])
+                cands[b] = sorted(
+                    {t for t in pool
+                     if t == b or (sb <= sig[t] and ges[b] <= ges[t])} | {b})
+            else:
+                cands[b] = sorted(set(sig) | {b})
+            if order == "random":
+                rng.shuffle(cands[b])
         # connectivity-first ordering seeded by the most constrained bnode
-        order: list[str] = []
+        visit_order: list[str] = []
         remaining = set(cbnodes)
         while remaining:
             adjacent = [b for b in remaining
-                        if any(n in order for t in by_subj.get(b, [])
+                        if any(n in visit_order for t in by_subj.get(b, [])
                                + by_obj.get(b, []) for n in (t[0], t[2]))]
             pool = adjacent or sorted(remaining)
             nxt = min(pool, key=lambda b: (len(cands[b]), b))
-            order.append(nxt)
+            visit_order.append(nxt)
             remaining.discard(nxt)
 
         h: dict[str, str] = {}
@@ -215,9 +235,9 @@ def _find_proper_endo(triples: set[Triple], budget: int) -> dict[str, str] | Non
             return any(b not in image for b in cbnodes)
 
         def dfs(i: int) -> bool:
-            if i == len(order):
+            if i == len(visit_order):
                 return proper()
-            b = order[i]
+            b = visit_order[i]
             for c in cands[b]:
                 visited[0] += 1
                 if visited[0] > budget:
@@ -252,8 +272,14 @@ def _find_proper_endo(triples: set[Triple], budget: int) -> dict[str, str] | Non
     return accepted or None
 
 
-def lean_graph(triples: list[Triple], budget: int = 200_000) -> LeanResult:
-    """Compute the core of the graph with a complete witness map."""
+def lean_graph(triples: list[Triple], budget: int = 200_000,
+               order: str = "sorted", seed: int = 0,
+               prune: bool = True) -> LeanResult:
+    """Compute the core of the graph with a complete witness map.
+
+    ``order``/``seed``/``prune`` select a search config from the
+    reference's metamorphic matrix (see ``_find_proper_endo``); every
+    config yields the same core up to isomorphism."""
     n_in = len(set(triples))
     current: set[Triple] = set(triples)
     core: dict[str, str] = {}
@@ -276,7 +302,7 @@ def lean_graph(triples: list[Triple], budget: int = 200_000) -> LeanResult:
 
     # full search to fixpoint
     while True:
-        h = _find_proper_endo(current, budget)
+        h = _find_proper_endo(current, budget, order, seed, prune)
         if h is None:
             break
         current = _apply(h, current)

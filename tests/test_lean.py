@@ -295,3 +295,51 @@ def test_auto_route_cap_passes_through_flagged(spark):
     # pass-through keeps the (prepass-reduced) triples intact
     got = {(r.subj, r.pred, r.obj) for r in lean.collect()}
     assert {(f"<g{i}>", "<p>", f"<o{i}>") for i in range(80)} <= got
+
+
+# -- five-config metamorphic matrix (TestFramework.java:151-155,235-241) ------
+
+DFS_CONFIGS = [("sorted", True), ("random", True),
+               ("sorted", False), ("random", False)]
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_five_config_matrix_fixtures(spark, name):
+    """The reference's TestFramework runs DFS ordered/random ×
+    prune/no-prune + BFS and requires ONE canonical core across all five
+    configs — the cheapest correctness cross-check it ships."""
+    from blabel_spark.lean.bfs import bfs_lean_graph
+    g = CASES[name]
+    base = set(label_graph(list(lean_graph(g).lean)).graph)
+    for order, prune in DFS_CONFIGS[1:]:
+        for seed in (0, 1):
+            res = lean_graph(g, order=order, seed=seed, prune=prune)
+            assert set(label_graph(list(res.lean)).graph) == base, \
+                (order, prune, seed)
+            # witness stays sound in every config
+            assert apply_map(g, res.core_map) == set(res.lean)
+    df = spark.createDataFrame([t for t in g],
+                               "subj string, pred string, obj string")
+    bfs_df, _ = bfs_lean_graph(spark, df)
+    got = {tuple(r) for r in bfs_df.collect()}
+    assert set(label_graph(sorted(got)).graph) == base
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_five_config_matrix_random_graphs(spark, seed):
+    import random as _r
+    from blabel_spark.lean.bfs import bfs_lean_graph
+    rng = _r.Random(1000 + seed)
+    bnodes = [f"_:b{i}" for i in range(5)]
+    iris = [f"<i{i}>" for i in range(3)]
+    trips = list({(rng.choice(bnodes), rng.choice(["<p>", "<q>"]),
+                   rng.choice(bnodes + iris)) for _ in range(9)})
+    base = set(label_graph(list(lean_graph(trips).lean)).graph)
+    for order, prune in DFS_CONFIGS[1:]:
+        res = lean_graph(trips, order=order, seed=seed, prune=prune)
+        assert set(label_graph(list(res.lean)).graph) == base, \
+            (order, prune)
+    df = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    bfs_df, _ = bfs_lean_graph(spark, df)
+    got = {tuple(r) for r in bfs_df.collect()}
+    assert set(label_graph(sorted(got)).graph) == base
