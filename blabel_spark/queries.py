@@ -645,6 +645,107 @@ SELECT event_type, event_id, round(value, 2) AS value FROM (
 
 
 # ---------------------------------------------------------------------------
+# corpus-run analysis (ops.analyse — AnalyseNQuadsResults counterpart)
+# driven by a deterministic runs table derived from `documents`, so the
+# aggregation logic has a live DuckDB twin in the driver gate
+# ---------------------------------------------------------------------------
+
+def _runs_view(spark, sf):
+    """Deterministic (mode, doc, triples, bnodes, runtime_ms) runs table:
+    every 50th document is an error row (negative runtime, the
+    reference's TSV convention, RunNQuadsTest.java:296-320)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        F.when(F.col("doc_id") % 2 == 0, "LABEL").otherwise("LEAN")
+        .alias("mode"),
+        F.col("doc_id").cast("string").alias("doc"),
+        F.col("n_chars").alias("triples"),
+        (F.col("n_chars") % 97).alias("bnodes"),
+        F.when(F.col("doc_id") % 50 == 0,
+               -((F.col("n_chars") % 1000) + 1))
+        .otherwise((F.col("n_chars") * 7) % 100000).alias("runtime_ms"))
+
+
+_SQL_RUNS = """
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'LABEL' ELSE 'LEAN' END AS mode,
+         CAST(doc_id AS VARCHAR) AS doc,
+         n_chars AS triples,
+         n_chars % 97 AS bnodes,
+         CASE WHEN doc_id % 50 = 0 THEN -((n_chars % 1000) + 1)
+              ELSE (n_chars * 7) % 100000 END AS runtime_ms
+  FROM documents
+"""
+
+
+def q_corpus_summary(spark, sf):
+    """A10 / AnalyseNQuadsResults.java:165-215: per-mode corpus totals
+    with the ok/error split."""
+    from blabel_spark.ops.analyse import corpus_summary
+    return corpus_summary(_runs_view(spark, sf))
+
+
+SQL_CORPUS_SUMMARY = f"""
+SELECT mode,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN runtime_ms < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(sum(CASE WHEN runtime_ms >= 0 THEN triples ELSE 0 END)
+         AS BIGINT) AS ok_triples,
+       CAST(sum(CASE WHEN runtime_ms >= 0 THEN bnodes ELSE 0 END)
+         AS BIGINT) AS ok_bnodes,
+       CAST(sum(CASE WHEN runtime_ms >= 0 THEN runtime_ms ELSE 0 END)
+         AS BIGINT) AS ok_time_ms,
+       CAST(sum(CASE WHEN runtime_ms < 0 THEN triples ELSE 0 END)
+         AS BIGINT) AS err_triples,
+       CAST(sum(CASE WHEN runtime_ms < 0 THEN -runtime_ms ELSE 0 END)
+         AS BIGINT) AS err_time_ms
+FROM ({_SQL_RUNS}) GROUP BY mode
+"""
+
+
+def q_runtime_histogram(spark, sf):
+    """A10: per-mode runtime histogram over the reference's Binner edges
+    (AnalyseNQuadsResults.java:26-28)."""
+    from blabel_spark.ops.analyse import runtime_histogram
+    return runtime_histogram(_runs_view(spark, sf))
+
+
+SQL_RUNTIME_HIST = f"""
+SELECT mode,
+       CASE WHEN abs(runtime_ms) <= 9 THEN '0-9'
+            WHEN abs(runtime_ms) <= 99 THEN '10-99'
+            WHEN abs(runtime_ms) <= 999 THEN '100-999'
+            WHEN abs(runtime_ms) <= 9999 THEN '1000-9999'
+            WHEN abs(runtime_ms) <= 99999 THEN '10000-99999'
+            WHEN abs(runtime_ms) <= 1000000 THEN '100000-1000000'
+            ELSE '>1000000' END AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_SQL_RUNS}) GROUP BY 1, 2
+"""
+
+
+def q_windowed_turn_counts(spark, sf):
+    """§2.8/§2.9: tumbling-window event counts — the batch shape of the
+    streaming windowed aggregation (streaming/sessions.py runs the same
+    plan over readStream)."""
+    e = load(spark, sf, "events")
+    return (e.groupBy("event_type",
+                      F.window("ts", "1 hour").getField("start")
+                      .alias("window_start"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+SQL_WINDOWED_TURNS = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # training-data operators: dedup / similarity / text
 # ---------------------------------------------------------------------------
 
@@ -1023,6 +1124,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_first_event": q_user_first_event,           # window
     "sessionize": q_sessionize,                       # window lag+cumsum
     "max_by_event": q_max_by_event,                   # O7
+    "corpus_summary": q_corpus_summary,               # A10 analyse
+    "runtime_histogram": q_runtime_histogram,         # A10 Binner
+    "windowed_turn_counts": q_windowed_turn_counts,   # §2.8 window
     # training-data ops
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash,
@@ -1066,6 +1170,9 @@ ORACLES: dict[str, str] = {
     "user_first_event": SQL_FIRST_EVENT,
     "sessionize": SQL_SESSIONIZE,
     "max_by_event": SQL_MAX_BY,
+    "corpus_summary": SQL_CORPUS_SUMMARY,
+    "runtime_histogram": SQL_RUNTIME_HIST,
+    "windowed_turn_counts": SQL_WINDOWED_TURNS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_signatures": SQL_MINHASH,
     "lsh_candidate_pairs": SQL_LSH_PAIRS,
