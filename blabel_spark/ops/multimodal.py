@@ -63,7 +63,11 @@ def _decode_batch(payloads: pd.Series, n_values: np.ndarray
                        count=len(payloads))
     lens = np.maximum(lens, 1)
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    allbytes = np.frombuffer(b"".join(bytes(p) for p in payloads),
+    # empty payloads are padded with one zero byte so the flat buffer
+    # layout matches the clamped lens — otherwise a single empty payload
+    # mid-batch shifts every later row's samples and can index past the
+    # buffer end
+    allbytes = np.frombuffer(b"".join(bytes(p) or b"\x00" for p in payloads),
                              dtype=np.uint8)
     n = np.maximum(n_values.astype(np.int64), 1)
     seg_id = np.repeat(np.arange(len(n)), n)

@@ -86,18 +86,23 @@ def lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
     """ANN top-k: score only vectors in the query's bucket, plus all
     Hamming-≤``multiprobe`` neighbour buckets (multi-probe recovers the
     recall a single bucket loses to boundary effects while still scanning
-    only (1 + n_bits·multiprobe)/2^n_bits of the data)."""
+    only ≈ (1 + Σ_{r≤m} C(n_bits, r))/2^n_bits of the data)."""
+    from itertools import combinations
     buckets = sign_lsh_buckets(emb, n_bits, dim, seed, vec_col)
     with_b = emb.join(buckets.select("vec_id", "bucket"), "vec_id")
-    qrow = with_b.where(F.col("vec_id") == query_vec_id) \
-                 .select("bucket", vec_col).collect()[0]
-    qbucket, qvec = qrow["bucket"], qrow[vec_col]
+    qrows = with_b.where(F.col("vec_id") == query_vec_id) \
+                  .select("bucket", vec_col).collect()
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} not found in the embedding table")
+    qbucket, qvec = qrows[0]["bucket"], qrows[0][vec_col]
     probes = {qbucket}
-    if multiprobe >= 1:
-        for i in range(n_bits):
-            flipped = qbucket[:i] + ("0" if qbucket[i] == "1" else "1") \
-                + qbucket[i + 1:]
-            probes.add(flipped)
+    for r in range(1, min(multiprobe, n_bits) + 1):
+        for flips in combinations(range(n_bits), r):
+            b = list(qbucket)
+            for i in flips:
+                b[i] = "0" if b[i] == "1" else "1"
+            probes.add("".join(b))
     qvec_lit = F.array(*[F.lit(float(x)) for x in qvec])
     cand = with_b.where(F.col("vec_id") != query_vec_id) \
                  .where(F.col("bucket").isin(sorted(probes)))
@@ -125,7 +130,11 @@ def multitable_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
         bits = [_proj_bit(F.col(vec_col), W[i]) for i in range(n_bits)]
         tables.append(F.concat(*bits).alias(f"b{t}"))
     with_b = emb.select("vec_id", "label", vec_col, *tables)
-    qrow = with_b.where(F.col("vec_id") == query_vec_id).collect()[0]
+    qrows = with_b.where(F.col("vec_id") == query_vec_id).collect()
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} not found in the embedding table")
+    qrow = qrows[0]
     cond = None
     for t in range(n_tables):
         c = F.col(f"b{t}") == qrow[f"b{t}"]

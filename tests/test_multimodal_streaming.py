@@ -71,3 +71,18 @@ def test_incremental_streaming_ingest(spark, tmp_path):
         .select("graph_id", "subj", "pred", "obj")
     assert sorted(map(tuple, got.select("graph_id", "subj", "pred", "obj")
                       .collect())) == sorted(map(tuple, expect.collect()))
+
+def test_decode_batch_empty_payload_mid_batch():
+    """An empty payload must not shift later rows' decoded samples (the
+    flat buffer pads empty payloads to match the clamped lens)."""
+    import numpy as np
+    import pandas as pd
+
+    from blabel_spark.ops.multimodal import _decode_batch, _fake_decode
+    payloads = pd.Series([b"abc", b"", b"xyz"])
+    n_values = np.array([4, 3, 4])
+    samples, seg = _decode_batch(payloads, n_values)
+    rows = [samples[seg == i] for i in range(3)]
+    assert rows[0].tolist() == _fake_decode(b"abc", 4).tolist()
+    assert rows[1].tolist() == [0, 0, 0]
+    assert rows[2].tolist() == _fake_decode(b"xyz", 4).tolist()

@@ -110,3 +110,21 @@ def test_bucket_determinism(spark):
     b = {(r["vec_id"], r["bucket"])
          for r in sign_lsh_buckets(_emb(spark), n_bits=8).collect()}
     assert a == b
+
+
+def test_lsh_topk_multiprobe_and_missing_query(spark):
+    """multiprobe=2 genuinely probes Hamming-2 neighbours (strictly more
+    candidates than multiprobe=1 on clustered data) and a missing query
+    id raises a clear ValueError instead of a bare IndexError."""
+    import pytest
+
+    from blabel_spark.ops.similarity import lsh_topk
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .limit(400).localCheckpoint(True)
+    r1 = {r.vec_id for r in
+          lsh_topk(emb, query_vec_id=1, k=400, multiprobe=1).collect()}
+    r2 = {r.vec_id for r in
+          lsh_topk(emb, query_vec_id=1, k=400, multiprobe=2).collect()}
+    assert r1 <= r2 and len(r2) > len(r1)
+    with pytest.raises(ValueError, match="not found"):
+        lsh_topk(emb, query_vec_id=10**12)
