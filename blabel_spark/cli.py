@@ -59,7 +59,39 @@ def main(argv: list[str] | None = None) -> int:
     syn.add_argument("--mode", default="BOTH",
                      choices=["LEAN", "LABEL", "BOTH"])
     syn.add_argument("--cpus", type=int, default=None)
+    ctl = sub.add_parser(
+        "control", help="control run: pass-through parse of every N-th "
+        "document (cli/Control.java:98-124) — the baseline parse+IO cost "
+        "against which label/lean runtimes are judged")
+    ctl.add_argument("-i", "--input", required=True, help=".nt/.nq file")
+    ctl.add_argument("-o", "--output", required=True, help="output dir")
+    ctl.add_argument("-n", "--every", type=int, default=1,
+                     help="keep 1-in-N documents (deterministic hash "
+                          "sample of graph_id — the distributed analogue "
+                          "of the reference's every-N-th file order)")
+    ctl.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "control":
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from blabel_spark.sources.ntriples import (
+            read_ntriples, write_ntriples)
+        from blabel_spark.spark_util import get_spark
+        spark = get_spark("blabel-control", cpus=args.cpus)
+        t0 = _time.time()
+        triples = read_ntriples(spark, args.input)
+        if args.every > 1:
+            triples = triples.where(
+                F.pmod(F.xxhash64("graph_id"), F.lit(args.every)) == 0)
+        write_ntriples(triples, args.output)
+        n = spark.read.text(args.output).count()
+        n_docs = triples.select("graph_id").distinct().count()
+        print(f"CONTROL\t{n_docs}\t{n}\t{round(_time.time() - t0, 3)}",
+              file=sys.stderr)
+        return 0
 
     if args.cmd == "bench-synthetic":
         from blabel_spark.spark_util import get_spark

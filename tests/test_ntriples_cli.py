@@ -69,3 +69,31 @@ def test_cli_label_iri_prefix(tmp_path):
             "<urn:blabel:SK003e2cfe64ac8abefd0daec5da3bda7422> .") in lines
     assert "<u> <p> <v> ." in lines
     assert all("_:" not in l for l in lines)
+
+
+def test_cli_control_passthrough(tmp_path):
+    """Control run (cli/Control.java:98-124): parse + write with no
+    transformation, optional 1-in-N document sample."""
+    inp = tmp_path / "c.nq"
+    lines = [f"<s{i}> <p> <o{i}> <g{i % 7}> ." for i in range(70)]
+    inp.write_text("\n".join(lines) + "\n")
+    outdir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "blabel_spark.cli", "control",
+         "-i", str(inp), "-o", str(outdir), "--cpus", "4"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "CONTROL\t7\t70\t" in r.stderr
+    got = set()
+    for f in outdir.glob("part-*"):
+        got |= {l for l in f.read_text().splitlines() if l}
+    assert len(got) == 70
+
+    out2 = tmp_path / "out2"
+    r = subprocess.run(
+        [sys.executable, "-m", "blabel_spark.cli", "control",
+         "-i", str(inp), "-o", str(out2), "-n", "3", "--cpus", "4"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-800:]
+    n_docs = int(r.stderr.split("CONTROL\t")[1].split("\t")[0])
+    assert 0 < n_docs < 7
