@@ -197,8 +197,11 @@ def term_pair_exprs(hash_name: str):
     def f(s: pd.Series) -> pd.DataFrame:
         from blabel_spark.hashing import enc_pair, get_hash_family
         hf = get_hash_family(hash_name)
-        pairs = [enc_pair(hf.hash_string(x)) for x in s]
-        return pd.DataFrame(pairs, columns=["h0", "h1"])
+        # RDF terms repeat heavily (predicates above all): hash each
+        # DISTINCT term once per Arrow batch and broadcast back
+        memo = {x: enc_pair(hf.hash_string(x)) for x in s.unique()}
+        return pd.DataFrame({"h0": s.map(lambda x: memo[x][0]),
+                             "h1": s.map(lambda x: memo[x][1])})
 
     def pair(col: Column) -> tuple[Column, Column]:
         p = f(col)
