@@ -128,7 +128,7 @@ def _trivial_filter(triples: set[Triple]) -> tuple[set[Triple], dict[str, str]]:
 
 
 def _find_proper_endo(triples: set[Triple], budget: int,
-                      order: str = "sorted", seed: int = 0,
+                      order: str = "bindcount", seed: int = 0,
                       prune: bool = True) -> dict[str, str] | None:
     """Backtracking search for a proper endomorphism h (h(G) ⊆ G, identity
     on ground, image covering strictly fewer bnodes).
@@ -137,7 +137,13 @@ def _find_proper_endo(triples: set[Triple], budget: int,
     (GraphLeaning.java:89-105 randomised candidate order; TestFramework
     runs ordered/random × prune/no-prune and requires one canonical core
     across all of them, TestFramework.java:151-155,235-241):
-    ``order="random"`` shuffles each candidate pool with ``seed``;
+    ``order="bindcount"`` (the default, like the reference's) re-sorts
+    each pool at assignment time: ground terms first, then terms most
+    frequently bound already, then non-self matches (NodeBindCount
+    ordering, GraphLeaning.getBindings:720-800 — reusing bound targets
+    makes the mapping proper sooner); ``order="sorted"`` keeps the
+    static pool order; ``order="random"`` shuffles each pool with
+    ``seed``;
     ``prune=False`` drops the signature/ground-edge candidate pruning and
     searches every node — semantics-neutral (pruning only removes
     candidates that cannot satisfy the consistency check), so all configs
@@ -238,7 +244,15 @@ def _find_proper_endo(triples: set[Triple], budget: int,
             if i == len(visit_order):
                 return proper()
             b = visit_order[i]
-            for c in cands[b]:
+            if order == "bindcount":
+                bound: dict[str, int] = {}
+                for v in h.values():
+                    bound[v] = bound.get(v, 0) + 1
+                pool = sorted(cands[b], key=lambda c: (
+                    is_bnode(c), -bound.get(c, 0), c == b, c))
+            else:
+                pool = cands[b]
+            for c in pool:
                 visited[0] += 1
                 if visited[0] > budget:
                     raise LeanBudgetExceeded(f"budget {budget} exceeded")
@@ -273,7 +287,7 @@ def _find_proper_endo(triples: set[Triple], budget: int,
 
 
 def lean_graph(triples: list[Triple], budget: int = 200_000,
-               order: str = "sorted", seed: int = 0,
+               order: str = "bindcount", seed: int = 0,
                prune: bool = True) -> LeanResult:
     """Compute the core of the graph with a complete witness map.
 
