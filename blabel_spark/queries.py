@@ -276,39 +276,47 @@ def q_trivial_nonlean(spark, sf):
     exact containment count then runs only over surviving (x, y) pairs.
     The oracle SQL keeps the direct all-pairs spec — same result set."""
     t = build_triples(spark, sf).dropDuplicates()
-    edges = (
-        t.select("graph_id", F.col("subj").alias("node"),
-                 F.concat(F.lit("+|"), "pred", F.lit("|"), "obj").alias("e"))
-        .union(t.select("graph_id", F.col("obj").alias("node"),
-                        F.concat(F.lit("-|"), "pred", F.lit("|"), "subj")
-                        .alias("e")))
-        .distinct()
-    ).localCheckpoint(True)
+    # edge identity (direction, pred, other-end) interned as a 128-bit
+    # xxhash64 pair scoped by graph — every join/groupBy below moves
+    # fixed-width longs instead of the concatenated edge strings (the
+    # same flyweight-interning trick as the canonical fixpoint, S4)
+    def side(node, mark, other):
+        e = F.concat(F.lit(mark), "pred", F.lit("|"), F.col(other))
+        return t.select(
+            "graph_id", F.col(node).alias("node"),
+            F.xxhash64(F.lit(1), "graph_id", e).alias("e0"),
+            F.xxhash64(F.lit(2), "graph_id", e).alias("e1"))
+
+    edges = (side("subj", "+|", "obj")
+             .union(side("obj", "-|", "subj"))
+             .distinct()).localCheckpoint(True)
     cnt = edges.groupBy("graph_id", "node").agg(F.count("*").alias("n"))
     bedges = edges.where(F.col("node").startswith("_:"))
-    # per-(graph, edge) frequency → each bnode's rarest edge (deterministic
-    # (f, e) tie-break); any superset-node must share it, so completeness
-    # is preserved for every probe-edge choice
-    freq = edges.groupBy("graph_id", "e").agg(F.count("*").alias("f"))
+    # per-edge frequency → each bnode's rarest edge (deterministic
+    # (f, e-key) tie-break; completeness is preserved for EVERY
+    # probe-edge choice, so the tie-break only pins the plan)
+    freq = edges.groupBy("e0", "e1").agg(F.count("*").alias("f"))
     rare = (
-        bedges.join(freq, ["graph_id", "e"])
+        bedges.join(freq, ["e0", "e1"])
         .groupBy("graph_id", "node")
-        .agg(F.min_by("e", F.struct("f", "e")).alias("e"))
-        .select("graph_id", F.col("node").alias("x"), "e")
+        .agg(F.min_by(F.struct("e0", "e1"),
+                      F.struct("f", "e0", "e1")).alias("ek"))
+        .select("graph_id", F.col("node").alias("x"),
+                F.col("ek.e0").alias("e0"), F.col("ek.e1").alias("e1"))
     )
     cand = (
-        rare.join(edges.select("graph_id", F.col("node").alias("y"), "e"),
-                  ["graph_id", "e"])
+        rare.join(edges.select(F.col("node").alias("y"), "e0", "e1"),
+                  ["e0", "e1"])
         .where(F.col("x") != F.col("y"))
         .select("graph_id", "x", "y")
     )
     # containment verify on surviving pairs only: every edge of x must be
     # an edge of y
-    xe = bedges.select("graph_id", F.col("node").alias("x"), "e")
-    ye = edges.select("graph_id", F.col("node").alias("y"), "e")
+    xe = bedges.select("graph_id", F.col("node").alias("x"), "e0", "e1")
+    ye = edges.select("graph_id", F.col("node").alias("y"), "e0", "e1")
     matched = (
         cand.join(xe, ["graph_id", "x"])
-        .join(ye, ["graph_id", "y", "e"], "left_semi")
+        .join(ye, ["graph_id", "y", "e0", "e1"], "left_semi")
         .groupBy("graph_id", "x", "y").agg(F.count("*").alias("n_match"))
     )
     cx = cnt.select("graph_id", F.col("node").alias("x"),
