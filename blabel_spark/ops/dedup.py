@@ -159,3 +159,38 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
         term = F.when(F.col(f"v{j}") > 0, 2 ** j).otherwise(0)
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.cast("int").alias("simhash"))
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
+                        n_bits: int = 6, dim: int = 64, seed: int = 42,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Candidate pairs come ONLY from equal sign-LSH buckets (seeded
+    Gaussian hyperplanes, ops.similarity.sign_lsh_buckets): a bucketed
+    self-equi-join whose work is Σ bucket_size² — never the C(n,2)
+    all-pairs join — then exact cosine verification on the candidates.
+    The 100 TB shape: bucket key is a shuffle key, skewed buckets split
+    by AQE, and the verified threshold filter runs before any output
+    materializes.  Recall is governed by n_bits exactly as in sign-LSH
+    ANN (near-identical vectors agree on every hyperplane with
+    probability 1 - angle/pi per bit).
+
+    Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold
+    (cosine rounded to 4 decimals before the threshold test, so the
+    result is reproducible across float orderings).
+    """
+    from blabel_spark.ops.similarity import cosine, sign_lsh_buckets
+    b = sign_lsh_buckets(emb, n_bits, dim, seed, vec_col) \
+        .select("vec_id", "bucket")
+    wb = emb.select("vec_id", vec_col).join(b, "vec_id")
+    left = wb.select(F.col("vec_id").alias("id_a"),
+                     F.col(vec_col).alias("_va"), "bucket")
+    right = wb.select(F.col("vec_id").alias("id_b"),
+                      F.col(vec_col).alias("_vb"), "bucket")
+    return (left.join(right, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("_va"), F.col("_vb")), 4)
+                    .alias("sim"))
+            .where(F.col("sim") >= threshold))

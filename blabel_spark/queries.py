@@ -1010,6 +1010,48 @@ JOIN counts cb ON cb.doc_id = p.doc_b
 """
 
 
+def q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-duplicate pairs (the fifth dedup modality):
+    sign-LSH bucketed candidates, exact cosine verify — never
+    all-pairs.  DuckDB twin replicates the seeded hyperplanes, so the
+    gate checks the bucketing AND the cosine arithmetic."""
+    from blabel_spark.ops.dedup import embedding_near_dups
+    # the synthetic embeddings are spread (no true near-dups, max
+    # same-bucket cosine ~0.49 at sf0.01), so the gate threshold is set
+    # low enough to yield a real result set — the operator semantics
+    # (bucketing, cosine, threshold) are what is being checked
+    return embedding_near_dups(load(spark, sf, "embeddings"),
+                               threshold=0.3)
+
+
+def _sql_embedding_near_dups() -> str:
+    from blabel_spark.ops.similarity import projection_matrix
+    W = projection_matrix(dim=64, n_bits=6, seed=42)
+    bits = []
+    for i in range(6):
+        arr = "[" + ", ".join(repr(float(x)) for x in W[i]) + "]"
+        bits.append(
+            "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{arr}) >= 0 THEN '1' ELSE '0' END")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, concat({', '.join(bits)}) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 4)
+         AS sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])), 4)
+      >= 0.3
+"""
+
+
+SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups()
+
+
 def q_knn_brute(spark, sf):
     from blabel_spark.ops.similarity import brute_force_topk
     return brute_force_topk(load(spark, sf, "embeddings"),
@@ -1144,6 +1186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dups": q_embedding_near_dups,
     "doc_fingerprint": q_fingerprint,
     "knn_brute_force": q_knn_brute,
     "ann_multitable": q_ann_multitable,
@@ -1189,6 +1232,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "doc_fingerprint": SQL_FINGERPRINT,
     "knn_brute_force": SQL_KNN,
     "ann_multitable": SQL_ANN_MULTITABLE,

@@ -68,3 +68,30 @@ def test_exact_dedup_counts(spark):
     out = exact_duplicates(docs).collect()
     assert len(out) == 1
     assert out[0]["n_docs"] == 3 and out[0]["keeper_doc_id"] == 0
+
+
+def test_embedding_near_dups_finds_planted_pairs(spark):
+    """Planted near-duplicate embeddings (tiny perturbations) are found
+    by the bucketed operator, and no pair below threshold is emitted."""
+    import numpy as np
+
+    from blabel_spark.ops.dedup import embedding_near_dups
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        # planted near-dup of every even vector: cosine ~0.999+
+        if i % 2 == 0:
+            w = v + 0.01 * rng.standard_normal(64).astype(np.float32)
+            rows.append((100 + i, [float(x) for x in w], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.id_a, r.id_b): r.sim
+           for r in embedding_near_dups(emb, threshold=0.95).collect()}
+    planted = {(i, 100 + i) for i in range(0, 20, 2)}
+    found = planted & set(got)
+    # sign-LSH recall on ~0.9995-cosine pairs with 6 bits is ~1; allow
+    # one boundary miss, require no false positives below threshold
+    assert len(found) >= len(planted) - 1, planted - set(got)
+    assert all(sim >= 0.95 for sim in got.values())
