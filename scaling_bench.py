@@ -121,15 +121,34 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         child(int(sys.argv[2]))
         return
+    # Interleave the levels REPEATS times and take the per-level minimum:
+    # this shared host's background load drifts on ~10-minute scales
+    # (single back-to-back phases have shown super-linear "CPU ceilings",
+    # i.e. the probe itself was skewed by drift between phases), so the
+    # per-level best over interleaved rounds is the drift-controlled
+    # estimate of each level's true cost.  All raw runs are reported.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    raw: list[dict] = []
+    for _ in range(repeats):
+        for cpus in LEVELS:
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", str(cpus)],
+                capture_output=True, text=True, check=True,
+                env={**os.environ, "PYTHONPATH": os.path.dirname(
+                    os.path.abspath(__file__))})
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            raw.append(json.loads(line))
     results = {}
     for cpus in LEVELS:
-        out = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus)],
-            capture_output=True, text=True, check=True,
-            env={**os.environ, "PYTHONPATH": os.path.dirname(
-                os.path.abspath(__file__))})
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        runs = [r for r in raw if r["cpus"] == cpus]
+        best = dict(min(runs, key=lambda r: r["secs"]))
+        for route in ("auto", "fixpoint"):
+            best[f"secs_{route}"] = min(r[f"secs_{route}"] for r in runs)
+            best[f"triples_per_sec_{route}"] = round(
+                best["n_triples"] / best[f"secs_{route}"], 1)
+        best["secs"] = best["secs_fixpoint"]
+        results[cpus] = best
     n, n4 = LEVELS
     speedup = results[n]["secs"] / results[n4]["secs"]
     eff = speedup / (n4 / n)
@@ -141,9 +160,11 @@ def main() -> None:
     # curve, not the core count (a real cluster adds bandwidth with every
     # executor, which is what the N→4N executor criterion measures)
     print(json.dumps({
-        "protocol": f"local[{n}] vs local[{n4}], same input, same job",
+        "protocol": f"local[{n}] vs local[{n4}], same input, same job; "
+                    f"{repeats} interleaved rounds, per-level minimum",
         "replicate": REPLICATE,
         "runs": results,
+        "raw_runs": raw,
         "speedup": round(speedup, 2),
         "scaling_efficiency": round(eff, 3),
         "speedup_auto_route": round(speedup_auto, 2),
