@@ -259,3 +259,18 @@ def test_empty_and_ground_only_inputs(spark):
         assert out == [("g", "<a>", "<p>", "<b>"),
                        ("h", "<c>", "<q>", '"lit"')], route
         assert res.labels.count() == 0, route
+
+
+def test_fixpoint_all_shuffle_fallback_parity(spark):
+    """broadcast_rows=0 forces every dimension join onto the shuffle
+    fallback (the 10^12-scale path where no table fits executor
+    memory); labels must be bit-identical to the broadcast plan."""
+    from blabel_spark.canon.distributed import canonicalize
+    from blabel_spark.ops.triples_view import build_triples
+    t = build_triples(spark, "/root/testdata/sf0.001").localCheckpoint(True)
+    a = canonicalize(spark, t, route="fixpoint")
+    b = canonicalize(spark, t, route="fixpoint", broadcast_rows=0)
+    assert sorted(map(tuple, a.labels.collect())) == \
+        sorted(map(tuple, b.labels.collect()))
+    assert sorted(map(tuple, a.labelled.collect())) == \
+        sorted(map(tuple, b.labelled.collect()))
