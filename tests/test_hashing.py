@@ -94,3 +94,61 @@ def test_md5_vec():
     assert out[0] == BLANK_HASH
     assert out[1] == hash_string("abc")
     assert out[2] == hash_string("üñî")
+
+
+def test_sql_combine_kernels_match_arrow(spark):
+    """The whole-stage-codegen combine/unordered kernels must be
+    bit-identical to the Arrow/numpy kernels on random stored pairs."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from blabel_spark.pair_kernels import (
+        combine2_pairs_sql,
+        combine2_pairs_udf,
+        combine3_pairs_sql,
+        combine3_pairs_udf,
+        unordered_sum_pairs,
+        unordered_sum_pairs_sql,
+    )
+    rng = _r.Random(99)
+    rows = [tuple(rng.randint(-2**63, 2**63 - 1) for _ in range(6))
+            + (rng.randint(0, 7),) for _ in range(3000)]
+    df = spark.createDataFrame(
+        rows, "a0 long, a1 long, b0 long, b1 long, c0 long, c1 long, "
+              "g int").localCheckpoint(True)
+    u3 = combine3_pairs_udf("a0", "a1", "b0", "b1", "c0", "c1")
+    s30, s31 = combine3_pairs_sql("a0", "a1", "b0", "b1", "c0", "c1")
+    u2 = combine2_pairs_udf("a0", "a1", "b0", "b1")
+    s20, s21 = combine2_pairs_sql("a0", "a1", "b0", "b1")
+    bad = df.select(
+        u3.getField("h0").alias("u0"), u3.getField("h1").alias("u1"),
+        s30.alias("s0"), s31.alias("s1"),
+        u2.getField("h0").alias("v0"), u2.getField("h1").alias("v1"),
+        s20.alias("t0"), s21.alias("t1")) \
+        .where("u0 != s0 or u1 != s1 or v0 != t0 or v1 != t1").count()
+    assert bad == 0
+    a = {tuple(r) for r in unordered_sum_pairs(
+        df, ["g"], "a0", "a1", "o0", "o1",
+        extra_init=(123, -456)).collect()}
+    b = {tuple(r) for r in unordered_sum_pairs_sql(
+        df, ["g"], "a0", "a1", "o0", "o1",
+        extra_init=(123, -456)).collect()}
+    assert a == b
+
+
+def test_by_graph_route_warns_on_ignored_fixpoint_options(spark):
+    """checkpoint_dir (and other fixpoint-only knobs) must not be
+    silently dropped when the per-graph kernel route is taken."""
+    import warnings
+
+    from blabel_spark.canon.distributed import canonicalize
+    df = spark.createDataFrame(
+        [("g", "_:a", "<p>", "<o>")],
+        "graph_id string, subj string, pred string, obj string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = canonicalize(spark, df, route="by_graph",
+                           checkpoint_dir="/tmp/nonexistent-ckpt")
+    assert res.metrics.get("ignored_options") == ["checkpoint_dir"]
+    assert any("checkpoint_dir" in str(x.message) for x in w)
