@@ -321,15 +321,23 @@ def _iteration_messages(static_msgs: DataFrame, bb_edges: DataFrame,
                         lab: DataFrame, lab_rows: int | None = None,
                         broadcast_rows: int = 0) -> DataFrame:
     # the other end's interned key (ok) is globally unique (128-bit over
-    # graph_id+term), so the colour lookup joins on two longs only; the
+    # graph_id+term), so the colour lookup joins on two longs only.  The
     # colour table shrinks as components converge and rides a broadcast
-    # once it fits (lab_rows is exact, carried from the previous round's
-    # convergence aggregation)
-    other_lab = _mb(
-        lab.select(F.col("bk0").alias("_n0"),
-                   F.col("bk1").alias("_n1"),
-                   F.col("h0").alias("oc0"), F.col("h1").alias("oc1")),
-        lab_rows, broadcast_rows)
+    # while it fits (lab_rows is exact, carried from the previous round's
+    # convergence aggregation); above ``broadcast_rows`` — the 10^12-row
+    # regime where no executor holds the colour table — the join becomes
+    # a shuffle-hash build of the colour side against ``bb_edges``, which
+    # was checkpointed pre-partitioned on (ok0, ok1) so ONLY the per-bnode
+    # colour table exchanges each round and the edge table (triple-scale)
+    # never re-shuffles across rounds.
+    other_lab = lab.select(F.col("bk0").alias("_n0"),
+                           F.col("bk1").alias("_n1"),
+                           F.col("h0").alias("oc0"),
+                           F.col("h1").alias("oc1"))
+    if lab_rows is not None and lab_rows <= broadcast_rows:
+        other_lab = F.broadcast(other_lab)
+    else:
+        other_lab = other_lab.hint("shuffle_hash")
     m0, m1 = combine3_pairs_sql("oc0", "oc1", "p0", "p1", "mk0", "mk1")
     dyn = (
         bb_edges
@@ -560,6 +568,13 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     edges = _edge_views(btri, plus_pair, minus_pair) \
         .dropDuplicates().localCheckpoint(True)
     static_msgs, bb_edges = _split_edges(edges)
+    # materialize the bnode→bnode edge table pre-partitioned on the colour
+    # lookup key: when the colour table outgrows broadcast_rows, each
+    # round's shuffle-hash join then exchanges only the (per-bnode,
+    # shrinking) colour table — never this (triple-scale) side
+    bb_edges = bb_edges.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "ok0", "ok1").localCheckpoint(True)
 
     if salt_buckets == "auto":
         # hub probe: a bnode's per-round fold size == its message count,
@@ -627,8 +642,28 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                              CK, "left_semi")
         msgs = _iteration_messages(sm, bb_edges, lab, n_lab_rows,
                                    broadcast_rows)
-        new_lab = _next_colors(msgs, lab, salt_buckets).localCheckpoint(True)
-        _fold_s = round(_time.time() - _it_t0, 3)
+        # ONE driver-sequenced job per round (was three: eager fold
+        # checkpoint + eager convergence checkpoint + status collect).
+        # Both checkpoints are LAZY: the single status collect below runs
+        # fold → audit → status as one job, materializing both tables'
+        # cached blocks for every later consumer; lineage still truncates
+        # at materialization, so plans stay constant-size across rounds.
+        # The reference's loop likewise does colouring + partition rebuild
+        # + termination test in one in-memory pass per round
+        # (GraphColouring.java:463-666) — this is its driver-barrier
+        # analogue: iteration count scales with component diameter, so
+        # per-round fixed latency is the loop's only serial section.
+        # CAUTION: lazy is only sound when doCheckpoint recurses past the
+        # first marked RDD (spark.checkpoint.checkpointAllMarkedAncestors,
+        # set by spark_util.get_spark) — otherwise the colour table under
+        # the marked convergence table would never truncate and per-round
+        # plans double in size; on foreign sessions fall back to an eager
+        # (own-job) colour checkpoint, i.e. two jobs per round.
+        _lazy_ok = (spark.sparkContext.getConf().get(
+            "spark.checkpoint.checkpointAllMarkedAncestors", "false")
+            == "true")
+        new_lab = _next_colors(msgs, lab, salt_buckets) \
+            .localCheckpoint(not _lazy_ok)
 
         # convergence + refinement audit riding the fold output: the fold
         # passes each bnode's previous colour through (oh columns), so we
@@ -658,7 +693,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                         .when(F.col("nc") == F.col("nb"), "discrete")
                         .when(F.col("nc") <= F.col("prev_nc"), "stalled")
                         .otherwise("active"))
-        ).localCheckpoint(True)
+        ).localCheckpoint(False)
 
         crows = conv.groupBy("status").agg(F.count("*").alias("n"),
                                            F.sum("nb").alias("b")).collect()
@@ -667,9 +702,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         if it == 1 and restored is None:
             metrics["n_components"] = sum(counts.values())
         iter_log.append({"iteration": it,
-                         "t_fold_s": _fold_s,
-                         "t_conv_s": round(_time.time() - _it_t0 - _fold_s,
-                                           3),
+                         "t_round_s": round(_time.time() - _it_t0, 3),
                          **{f"n_{k}": int(v) for k, v in counts.items()}})
         done_comps = conv.where(F.col("status") == "discrete").select(*CK)
         stall_comps = conv.where(F.col("status") == "stalled").select(*CK)

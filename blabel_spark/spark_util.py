@@ -43,6 +43,12 @@ def get_spark(app: str = "blabel-spark", cpus: int | None = None,
                 "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the fixpoint loop marks BOTH its per-round tables (colours +
+        # convergence) for LAZY local checkpointing and materializes them
+        # with ONE action; RDD.doCheckpoint stops at the first marked
+        # ancestor unless this is set, which would leave the inner table's
+        # lineage untruncated → exponentially growing plans across rounds
+        .config("spark.checkpoint.checkpointAllMarkedAncestors", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
