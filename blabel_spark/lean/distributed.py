@@ -48,33 +48,48 @@ def trivial_prepass(spark: SparkSession, triples: DataFrame,
                  .dropDuplicates().localCheckpoint(True)
     wit_parts: list[DataFrame] = []
     for _ in range(max_passes):
+        # edge identity interned to a 128-bit xxhash64 long pair (the S4
+        # flyweight trick, same budget as canon.distributed._ikey): the
+        # containment joins/groupBys below run up to ``max_passes`` times
+        # over THE OVERSIZED-GRAPH PATH, so their shuffle keys must be
+        # fixed-width longs, not "±|pred|term" concat strings (reference
+        # anchor: GraphLeaning.indexAllEdges interns Edge hashcodes,
+        # GraphLeaning.java:485-514).  Node/val stay strings — they are
+        # short bnode labels needed for the witness decode.
+        def _ekey(sign: int, pred: str, other: str) -> tuple:
+            return (F.xxhash64(F.lit(1), "graph_id", F.lit(sign),
+                               F.col(pred), F.col(other)),
+                    F.xxhash64(F.lit(2), "graph_id", F.lit(sign),
+                               F.col(pred), F.col(other)))
+        sp0, sp1 = _ekey(1, "pred", "obj")
+        so0, so1 = _ekey(-1, "pred", "subj")
         edges = (
             cur.select("graph_id", F.col("subj").alias("node"),
-                       F.concat(F.lit("+|"), "pred", F.lit("|"), "obj")
-                       .alias("e"),
+                       sp0.alias("e0"), sp1.alias("e1"),
                        F.col("obj").alias("val"))
             .union(cur.select("graph_id", F.col("obj").alias("node"),
-                              F.concat(F.lit("-|"), "pred", F.lit("|"),
-                                       "subj").alias("e"),
+                              so0.alias("e0"), so1.alias("e1"),
                               F.col("subj").alias("val")))
             .distinct()
         ).localCheckpoint(True)
+        E = ["e0", "e1"]
         cnt = edges.groupBy("graph_id", "node").agg(F.count("*").alias("n"))
         bedges = edges.where(F.col("node").startswith("_:"))
-        freq = edges.groupBy("graph_id", "e").agg(F.count("*").alias("f"))
-        rare = (bedges.join(freq, ["graph_id", "e"])
+        freq = edges.groupBy("graph_id", *E).agg(F.count("*").alias("f"))
+        rare = (bedges.join(freq, ["graph_id", *E])
                 .groupBy("graph_id", "node")
-                .agg(F.min_by("e", F.struct("f", "e")).alias("e"))
-                .select("graph_id", F.col("node").alias("x"), "e"))
+                .agg(F.min_by(F.struct(*E), F.struct("f", *E)).alias("e"))
+                .select("graph_id", F.col("node").alias("x"),
+                        F.col("e.e0").alias("e0"), F.col("e.e1").alias("e1")))
         cand = (rare.join(edges.select("graph_id",
-                                       F.col("node").alias("y"), "e"),
-                          ["graph_id", "e"])
+                                       F.col("node").alias("y"), *E),
+                          ["graph_id", *E])
                 .where(F.col("x") != F.col("y"))
                 .select("graph_id", "x", "y"))
-        xe = bedges.select("graph_id", F.col("node").alias("x"), "e")
-        ye = edges.select("graph_id", F.col("node").alias("y"), "e")
+        xe = bedges.select("graph_id", F.col("node").alias("x"), *E)
+        ye = edges.select("graph_id", F.col("node").alias("y"), *E)
         matched = (cand.join(xe, ["graph_id", "x"])
-                   .join(ye, ["graph_id", "y", "e"], "left_semi")
+                   .join(ye, ["graph_id", "y", *E], "left_semi")
                    .groupBy("graph_id", "x", "y")
                    .agg(F.count("*").alias("n_match")))
         cx = cnt.select("graph_id", F.col("node").alias("x"),
