@@ -438,18 +438,24 @@ def _kernel_colors(btri_kernel: DataFrame,
 # the driver loop
 # ---------------------------------------------------------------------------
 
+DEFAULT_MAX_ITERATIONS = 64
+DEFAULT_SALT_BUCKETS = "auto"
+
+
 def _warn_by_graph_ignores(metrics: dict, checkpoint_dir, max_iterations,
                            salt_buckets) -> None:
     """The per-graph kernel route has no mid-fixpoint state, so
     fixpoint-only knobs are inert there.  A run the user believes is
     resumable via ``checkpoint_dir`` is not — say so loudly and record it
-    in metrics instead of silently dropping the options."""
+    in metrics instead of silently dropping the options.  The non-default
+    tests reference the same DEFAULT_* constants as the canonicalize
+    signature, so a changed default cannot silently drift this check."""
     ignored = []
     if checkpoint_dir:
         ignored.append("checkpoint_dir")
-    if max_iterations != 64:
+    if max_iterations != DEFAULT_MAX_ITERATIONS:
         ignored.append("max_iterations")
-    if salt_buckets not in ("auto", 0):
+    if salt_buckets not in (DEFAULT_SALT_BUCKETS, 0):
         ignored.append("salt_buckets")
     if ignored:
         import warnings
@@ -463,8 +469,8 @@ def _warn_by_graph_ignores(metrics: dict, checkpoint_dir, max_iterations,
 def canonicalize(spark: SparkSession, triples: DataFrame, *,
                  dip: bool = True, upg: bool = True,
                  hash_name: str = "md5",
-                 max_iterations: int = 64,
-                 salt_buckets: int | str = "auto",
+                 max_iterations: int = DEFAULT_MAX_ITERATIONS,
+                 salt_buckets: int | str = DEFAULT_SALT_BUCKETS,
                  route: str = "auto",
                  kernel_graph_rows: int = 100_000,
                  broadcast_rows: int = 2_000_000,

@@ -59,6 +59,20 @@ def main(argv: list[str] | None = None) -> int:
     syn.add_argument("--mode", default="BOTH",
                      choices=["LEAN", "LABEL", "BOTH"])
     syn.add_argument("--cpus", type=int, default=None)
+    tst = sub.add_parser(
+        "test", help="corpus-mode metamorphic TEST harness "
+        "(RunNQuadsTest -b TEST counterpart): K bnode-renamed variants "
+        "per document, label (+lean) each, require one canonical form; "
+        "emits the OKAY/ERROR TSV that `analyse` ingests")
+    tst.add_argument("-i", "--input", required=True, help=".nt/.nq[.gz]")
+    tst.add_argument("-o", "--output", required=True, help="TSV output dir")
+    tst.add_argument("--shuffles", type=int, default=4,
+                     help="variants per document (reference "
+                          "DEFAULT_SHUFFLES = 4)")
+    tst.add_argument("--no-lean", action="store_true",
+                     help="labelling legs only")
+    tst.add_argument("--seed", type=int, default=7)
+    tst.add_argument("--cpus", type=int, default=None)
     ctl = sub.add_parser(
         "control", help="control run: pass-through parse of every N-th "
         "document (cli/Control.java:98-124) — the baseline parse+IO cost "
@@ -71,6 +85,24 @@ def main(argv: list[str] | None = None) -> int:
                           "of the reference's every-N-th file order)")
     ctl.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "test":
+        from pyspark.sql import functions as F
+
+        from blabel_spark.sources.ntriples import read_ntriples
+        from blabel_spark.spark_util import get_spark
+        from blabel_spark.testing import metamorphic_report, to_test_tsv
+        spark = get_spark("blabel-test", cpus=args.cpus)
+        triples = read_ntriples(spark, args.input)
+        rep = metamorphic_report(spark, triples, shuffles=args.shuffles,
+                                 lean=not args.no_lean, seed=args.seed)
+        to_test_tsv(rep).coalesce(1).write.mode("overwrite") \
+            .text(args.output)
+        counts = {r["s"]: r["n"] for r in
+                  rep.groupBy(F.col("status").alias("s"))
+                  .agg(F.count("*").alias("n")).collect()}
+        print(f"TEST complete: {counts}", file=sys.stderr)
+        return 1 if any("ERROR" in k for k in counts) else 0
 
     if args.cmd == "control":
         import time as _time

@@ -27,16 +27,20 @@ RUNS_SCHEMA = ("mode string, doc string, triples long, bnodes long, "
 
 def read_bench_tsv(spark: SparkSession, path: str) -> DataFrame:
     """Parse a reference-format bench TSV (``LEAN doc triples bnodes ms …``
-    / ``LABEL doc triples bnodes ms …`` rows, RunNQuadsTest.java:307,341)
-    into the runs shape.  Distributed line parse — one regex projection,
-    no Python."""
+    / ``LABEL doc triples bnodes ms …`` rows, RunNQuadsTest.java:307,341,
+    plus the ``TEST doc triples bnodes ms OKAY|ERROR…`` rows of the
+    metamorphic harness, RunNQuadsTest.java:385-415) into the runs shape.
+    Distributed line parse — one regex projection, no Python.  TEST rows
+    keep the negative-runtime-on-error convention, so the error split
+    downstream needs no special casing."""
     lines = spark.read.text(path)
     # the reference writes an occasional doubled tab (worked around in
     # AnalyseNQuadsResults.java:161)
     c = F.split(F.regexp_replace(F.col("value"), "\t\t", "\t"), "\t")
     return (lines
             .where(F.col("value").startswith("LEAN")
-                   | F.col("value").startswith("LABEL"))
+                   | F.col("value").startswith("LABEL")
+                   | F.col("value").startswith("TEST"))
             .select(c.getItem(0).alias("mode"),
                     c.getItem(1).alias("doc"),
                     c.getItem(2).cast("long").alias("triples"),

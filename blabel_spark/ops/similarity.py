@@ -147,6 +147,62 @@ def multitable_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(k))
 
 
+def lsh_topk_many(emb: DataFrame, queries: DataFrame, k: int = 10,
+                  n_bits: int = 8, n_tables: int = 6, seed: int = 42,
+                  vec_col: str = "embedding",
+                  qvec_col: str = "qvec",
+                  dim: int = 64) -> DataFrame:
+    """Batch ANN: top-k neighbours for EVERY row of ``queries``
+    ((query_id, qvec)) in one distributed plan — no driver collect per
+    query (the single-query ``lsh_topk``/``multitable_lsh_topk`` fetch
+    their one query row to the driver, which cannot scale to a query
+    TABLE).
+
+    Shape: both sides compute the same L seeded sign-LSH bucket columns
+    (pure codegen), explode to (table_id, bucket) keys, and candidates
+    come from the bucket equi-join — the same machinery as
+    dedup.embedding_candidate_pairs.  Per-query top-k is one window
+    rank over (query_id), i.e. a single shuffle keyed by query_id after
+    the candidate join.  Recall per pair is 1-(1-p^n_bits)^n_tables,
+    identical to multitable_lsh_topk.
+
+    Returns (query_id, vec_id, label, sim, rank), rank 1..k by
+    descending cosine, ties broken by vec_id.
+    """
+    from pyspark.sql import Window
+
+    def bucket_cols(col):
+        out = []
+        for t in range(n_tables):
+            W = projection_matrix(dim, n_bits, seed + t)
+            bits = [_proj_bit(col, W[i]) for i in range(n_bits)]
+            out.append(F.concat(*bits))
+        return out
+
+    data_keyed = emb.select(
+        "vec_id", "label", vec_col,
+        F.posexplode(F.array(*bucket_cols(F.col(vec_col))))
+        .alias("table_id", "bucket"))
+    q_keyed = queries.select(
+        "query_id", qvec_col,
+        F.posexplode(F.array(*bucket_cols(F.col(qvec_col))))
+        .alias("table_id", "bucket"))
+    # distinct (query, candidate) BEFORE scoring: a pair sharing buckets
+    # in several tables must be scored once
+    cand = (q_keyed.join(data_keyed, ["table_id", "bucket"])
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", qvec_col, "vec_id", "label", vec_col)
+            .dropDuplicates(["query_id", "vec_id"]))
+    w = Window.partitionBy("query_id") \
+              .orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (cand.select(
+                "query_id", "vec_id", "label",
+                F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4)
+                .alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def bucket_stats(emb: DataFrame, n_bits: int = 6) -> DataFrame:
     """LSH bucket census — the skew diagnostic for the ANN path."""
     return (sign_lsh_buckets(emb, n_bits)

@@ -1010,42 +1010,56 @@ JOIN counts cb ON cb.doc_id = p.doc_b
 """
 
 
+GATE_ND_BITS, GATE_ND_TABLES = 4, 3
+
+
 def q_embedding_near_dups(spark, sf):
     """Embedding-cosine near-duplicate pairs (the fifth dedup modality):
-    sign-LSH bucketed candidates, exact cosine verify — never
-    all-pairs.  DuckDB twin replicates the seeded hyperplanes, so the
-    gate checks the bucketing AND the cosine arithmetic."""
+    banded sign-LSH candidates (AND within a table, OR across tables),
+    exact cosine verify — never all-pairs.  DuckDB twin replicates all
+    seeded hyperplane tables, so the gate checks the multi-table
+    bucketing AND the cosine arithmetic."""
     from blabel_spark.ops.dedup import embedding_near_dups
     # the synthetic embeddings are spread (no true near-dups, max
-    # same-bucket cosine ~0.49 at sf0.01), so the gate threshold is set
-    # low enough to yield a real result set — the operator semantics
-    # (bucketing, cosine, threshold) are what is being checked
+    # same-bucket cosine ~0.49 at sf0.01), so the gate runs a
+    # small-bucket multi-table config with a low threshold to yield a
+    # real result set — the operator semantics are what is checked; the
+    # scale operating point (16 bits x 12 tables) is exercised with
+    # planted pairs in tests/test_dedup_scale.py
     return embedding_near_dups(load(spark, sf, "embeddings"),
-                               threshold=0.3)
+                               threshold=0.3, n_bits=GATE_ND_BITS,
+                               n_tables=GATE_ND_TABLES)
 
 
 def _sql_embedding_near_dups() -> str:
     from blabel_spark.ops.similarity import projection_matrix
-    W = projection_matrix(dim=64, n_bits=6, seed=42)
-    bits = []
-    for i in range(6):
-        arr = "[" + ", ".join(repr(float(x)) for x in W[i]) + "]"
-        bits.append(
-            "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-            f"{arr}) >= 0 THEN '1' ELSE '0' END")
+    tbl_exprs = []
+    for t in range(GATE_ND_TABLES):
+        W = projection_matrix(dim=64, n_bits=GATE_ND_BITS, seed=42 + t)
+        bits = []
+        for i in range(GATE_ND_BITS):
+            arr = "[" + ", ".join(repr(float(x)) for x in W[i]) + "]"
+            bits.append(
+                "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"{arr}) >= 0 THEN '1' ELSE '0' END")
+        tbl_exprs.append(f"concat({', '.join(bits)}) AS b{t}")
+    any_table = " OR ".join(f"a.b{t} = c.b{t}"
+                            for t in range(GATE_ND_TABLES))
     return f"""
 WITH b AS (
-  SELECT vec_id, embedding, concat({', '.join(bits)}) AS bucket
+  SELECT vec_id, embedding, {', '.join(tbl_exprs)}
   FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+         a.embedding AS ea, c.embedding AS eb
+  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_table})
 )
-SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(c.embedding AS DOUBLE[])), 4)
-         AS sim
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(c.embedding AS DOUBLE[])), 4)
-      >= 0.3
+SELECT id_a, id_b,
+       round(list_cosine_similarity(CAST(ea AS DOUBLE[]),
+                                    CAST(eb AS DOUBLE[])), 4) AS sim
+FROM cand
+WHERE round(list_cosine_similarity(CAST(ea AS DOUBLE[]),
+                                   CAST(eb AS DOUBLE[])), 4) >= 0.3
 """
 
 
@@ -1110,6 +1124,69 @@ LIMIT 10
 
 
 SQL_ANN_MULTITABLE = _sql_ann_multitable()
+
+
+GATE_AB_BITS, GATE_AB_TABLES, GATE_AB_K, GATE_AB_NQ = 4, 3, 5, 20
+
+
+def q_ann_batch(spark, sf):
+    """Batch ANN: top-k for a TABLE of queries (the first 20 stored
+    vectors) via one bucket equi-join + one per-query window rank — no
+    driver collect proportional to query count (ops.similarity.
+    lsh_topk_many; the single-query paths fetch their one row to the
+    driver, which cannot serve a query table)."""
+    from blabel_spark.ops.similarity import lsh_topk_many
+    emb = load(spark, sf, "embeddings")
+    queries = (emb.where(F.col("vec_id") < GATE_AB_NQ)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return lsh_topk_many(emb, queries, k=GATE_AB_K, n_bits=GATE_AB_BITS,
+                         n_tables=GATE_AB_TABLES)
+
+
+def _sql_ann_batch() -> str:
+    """DuckDB twin: same seeded tables; queries ⊆ embeddings so one
+    bucket CTE serves both sides of the candidate join."""
+    from blabel_spark.ops.similarity import projection_matrix
+    keyed_parts = []
+    for t in range(GATE_AB_TABLES):
+        W = projection_matrix(dim=64, n_bits=GATE_AB_BITS, seed=42 + t)
+        bits = []
+        for i in range(GATE_AB_BITS):
+            arr = "[" + ", ".join(repr(float(x)) for x in W[i]) + "]"
+            bits.append(
+                "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"{arr}) >= 0 THEN '1' ELSE '0' END")
+        keyed_parts.append(
+            f"SELECT vec_id, label, embedding, {t} AS table_id, "
+            f"concat({', '.join(bits)}) AS bucket FROM embeddings")
+    keyed = "\nUNION ALL\n".join(keyed_parts)
+    return f"""
+WITH keyed AS (
+{keyed}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qvec,
+         d.vec_id, d.label, d.embedding AS dvec
+  FROM keyed q JOIN keyed d
+    ON q.table_id = d.table_id AND q.bucket = d.bucket
+  WHERE q.vec_id < {GATE_AB_NQ} AND q.vec_id <> d.vec_id
+), scored AS (
+  SELECT query_id, vec_id, label,
+         round(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                      CAST(dvec AS DOUBLE[])), 4) AS sim
+  FROM cand
+), ranked AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, sim, rank FROM ranked
+WHERE rank <= {GATE_AB_K}
+"""
+
+
+SQL_ANN_BATCH = _sql_ann_batch()
 
 
 def q_lsh_bucket_stats(spark, sf):
@@ -1190,6 +1267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "knn_brute_force": q_knn_brute,
     "ann_multitable": q_ann_multitable,
+    "ann_batch": q_ann_batch,
     "lsh_bucket_stats": q_lsh_bucket_stats,
 }
 
@@ -1236,5 +1314,6 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_FINGERPRINT,
     "knn_brute_force": SQL_KNN,
     "ann_multitable": SQL_ANN_MULTITABLE,
+    "ann_batch": SQL_ANN_BATCH,
     "lsh_bucket_stats": SQL_BUCKET_STATS,
 }

@@ -139,10 +139,16 @@ def main() -> None:
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             raw.append(json.loads(line))
+    # per-level summary built ONLY from explicitly chosen fields: the
+    # per-route minima may come from different runs, so copying a whole
+    # run dict and overwriting selectively would leave leftover per-run
+    # fields inconsistent with the reported minima
     results = {}
     for cpus in LEVELS:
         runs = [r for r in raw if r["cpus"] == cpus]
-        best = dict(min(runs, key=lambda r: r["secs"]))
+        best = {"cpus": cpus,
+                "n_triples": runs[0]["n_triples"],
+                "iterations": runs[0]["iterations"]}
         for route in ("auto", "fixpoint"):
             best[f"secs_{route}"] = min(r[f"secs_{route}"] for r in runs)
             best[f"triples_per_sec_{route}"] = round(

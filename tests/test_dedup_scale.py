@@ -70,6 +70,45 @@ def test_exact_dedup_counts(spark):
     assert out[0]["n_docs"] == 3 and out[0]["keeper_doc_id"] == 0
 
 
+def test_embedding_near_dups_scale_operating_point(spark):
+    """The 16-bit x 12-table default on a 5k-vector corpus: planted
+    cosine-0.95 pairs are recovered at the banded-LSH recall the
+    analysis predicts (1-(1-p^16)^12 ~ 0.91 at p=0.899), while the
+    candidate set stays orders of magnitude below C(n,2) — the property
+    that separates 'bucketed' from 'bucketed at the right granularity'
+    (a single 6-bit table degenerates to ~n^2/64 candidates)."""
+    import numpy as np
+
+    from blabel_spark.ops.dedup import (embedding_candidate_pairs,
+                                        embedding_near_dups)
+    rng = np.random.default_rng(11)
+    n, dim, n_planted = 5000, 64, 50
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(base)]
+    for j in range(n_planted):
+        v = base[j] / np.linalg.norm(base[j])
+        g = rng.standard_normal(dim)
+        u = g - (g @ v) * v
+        u /= np.linalg.norm(u)
+        w = 0.95 * v + np.sqrt(1 - 0.95 ** 2) * u  # cosine(v, w) = 0.95
+        rows.append((10_000 + j, [float(x) for x in w.astype(np.float32)],
+                     0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    cand = embedding_candidate_pairs(emb).localCheckpoint(True)
+    n_cand = cand.count()
+    all_pairs = (n + n_planted) * (n + n_planted - 1) // 2
+    assert n_cand < all_pairs * 0.01, (n_cand, all_pairs)
+    got = {(r.id_a, r.id_b)
+           for r in embedding_near_dups(emb, threshold=0.94).collect()}
+    planted = {(j, 10_000 + j) for j in range(n_planted)}
+    recall = len(planted & got) / n_planted
+    assert recall >= 0.75, recall
+    # and every emitted pair really clears the cosine threshold
+    sims = embedding_near_dups(emb, threshold=0.94).collect()
+    assert all(r.sim >= 0.94 for r in sims)
+
+
 def test_embedding_near_dups_finds_planted_pairs(spark):
     """Planted near-duplicate embeddings (tiny perturbations) are found
     by the bucketed operator, and no pair below threshold is emitted."""

@@ -311,7 +311,10 @@ def test_five_config_matrix_fixtures(spark, name):
     from blabel_spark.lean.bfs import bfs_lean_graph
     g = CASES[name]
     base = set(label_graph(list(lean_graph(g).lean)).graph)
-    for order, prune in DFS_CONFIGS[1:]:
+    # full config list: the base core comes from the separate bindcount
+    # default, so config[0] (sorted+prune — the reference's ordered+prune
+    # leg) is a real extra leg, not a repeat
+    for order, prune in DFS_CONFIGS:
         for seed in (0, 1):
             res = lean_graph(g, order=order, seed=seed, prune=prune)
             assert set(label_graph(list(res.lean)).graph) == base, \
@@ -335,7 +338,7 @@ def test_five_config_matrix_random_graphs(spark, seed):
     trips = list({(rng.choice(bnodes), rng.choice(["<p>", "<q>"]),
                    rng.choice(bnodes + iris)) for _ in range(9)})
     base = set(label_graph(list(lean_graph(trips).lean)).graph)
-    for order, prune in DFS_CONFIGS[1:]:
+    for order, prune in DFS_CONFIGS:
         res = lean_graph(trips, order=order, seed=seed, prune=prune)
         assert set(label_graph(list(res.lean)).graph) == base, \
             (order, prune)

@@ -112,6 +112,32 @@ def test_bucket_determinism(spark):
     assert a == b
 
 
+def test_lsh_topk_many_matches_single_query_path(spark):
+    """Batch ANN over a 120-row query table equals the single-query
+    multitable path per query — one distributed plan, no driver collect
+    proportional to the query count."""
+    from blabel_spark.ops.similarity import lsh_topk_many
+    emb = _emb(spark).limit(400).localCheckpoint(True)
+    qids = list(range(0, 120))
+    queries = (emb.where(F.col("vec_id").isin(qids))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    many = lsh_topk_many(emb, queries, k=10, n_bits=6, n_tables=6) \
+        .collect()
+    got = {}
+    for r in many:
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.sim))
+    for q in (0, 7, 33, 58, 91, 119):
+        single = multitable_lsh_topk(emb, query_vec_id=q, k=10,
+                                     n_bits=6, n_tables=6).collect()
+        want = [(i + 1, r.vec_id, r.sim) for i, r in enumerate(single)]
+        assert sorted(got.get(q, [])) == want, q
+    # every query with any candidate appears; ranks are 1..k contiguous
+    for q, rows in got.items():
+        ranks = sorted(r[0] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), q
+
+
 def test_lsh_topk_multiprobe_and_missing_query(spark):
     """multiprobe=2 genuinely probes Hamming-2 neighbours (strictly more
     candidates than multiprobe=1 on clustered data) and a missing query

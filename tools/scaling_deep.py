@@ -66,11 +66,19 @@ def main() -> None:
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             raw.append(json.loads(line))
+    # summary from explicitly chosen fields only (see scaling_bench.py:
+    # copying the min run's dict can mix fields from different runs)
     results = {}
     for cpus in LEVELS:
         runs = [r for r in raw if r["cpus"] == cpus]
-        best = dict(min(runs, key=lambda r: r["secs"]))
-        results[cpus] = best
+        secs = min(r["secs"] for r in runs)
+        results[cpus] = {
+            "cpus": cpus,
+            "n_triples": runs[0]["n_triples"],
+            "iterations": runs[0]["iterations"],
+            "secs": secs,
+            "triples_per_sec": round(runs[0]["n_triples"] / secs, 1),
+        }
     n, n4 = LEVELS
     speedup = results[n]["secs"] / results[n4]["secs"]
     print(json.dumps({
