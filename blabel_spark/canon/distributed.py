@@ -258,8 +258,17 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
     c0, c1 = _ikey("graph_id", "comp")
     k_s0, k_s1 = _ikey("graph_id", "subj")
     k_o0, k_o1 = _ikey("graph_id", "obj")
+    # parallelism reset BEFORE the ten hash projections: the parquet scan
+    # yields few input partitions at small SF (6 at sf0.1), and since the
+    # comp decoration is a broadcast join nothing downstream would ever
+    # re-exchange — every tail scan of the checkpointed btri (edge build,
+    # per-triple hashes, relabel) would run at scan parallelism.  One
+    # round-robin exchange of the raw strings here buys core-count
+    # parallelism for the hash computation and every later btri pass.
+    parts = int(btri.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     btri = (
-        btri.withColumn("_anchor", anchor)
+        btri.repartition(parts)
+        .withColumn("_anchor", anchor)
         .join(_mb(comp.withColumnRenamed("bnode", "_anchor"),
                   n_bnodes, broadcast_rows),
               ["graph_id", "_anchor"])
@@ -543,7 +552,17 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     blank_pair = enc_pair(hf.blank)
     plus_pair = enc_pair(hf.plus)
     minus_pair = enc_pair(hf.minus)
-    hash_int_udf = hash_int_pair_udf_for(hash_name)
+    # duplicate-mux digest: pure codegen for md5 (hash_int_pair_sql),
+    # Arrow UDF only for the non-default 16-byte families
+    if hash_name == "md5":
+        from blabel_spark.pair_kernels import hash_int_pair_sql
+        mx_exprs = hash_int_pair_sql
+    else:
+        _udf = hash_int_pair_udf_for(hash_name)
+
+        def mx_exprs(c):
+            p = _udf(c)
+            return p.getField("h0"), p.getField("h1")
     # RDF graphs are triple SETS (the reference loads into HashGraph /
     # TreeSet structures), but a whole-corpus dropDuplicates here would
     # cost an extra full-input shuffle.  Set semantics are instead
@@ -813,8 +832,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
               how="left").drop("_s0", "_s1")
         .join(olab, on=[btri.ko0 == olab._o0, btri.ko1 == olab._o1],
               how="left").drop("_o0", "_o1")
-        .select("ck0", "ck1", "p0", "p1", "ss0", "ss1", "os0", "os1",
-                "sc0", "sc1", "oc0", "oc1")
+        .select("graph_id", "ck0", "ck1", "p0", "p1", "ss0", "ss1",
+                "os0", "os1", "sc0", "sc1", "oc0", "oc1")
     )
 
     tm0, tm1 = combine3_pairs_sql(
@@ -828,14 +847,19 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     th = btrij.select("ck0", "ck1", tm0.alias("t0"), tm1.alias("t1")) \
         .dropDuplicates()
     cd0, cd1 = _ikey("graph_id", "comp")
-    comp_dict = (node_comp.select("graph_id", "comp").distinct()
-                 .withColumn("ck0", cd0).withColumn("ck1", cd1))
+    # ONE aggregation over the per-bnode comp table yields BOTH the
+    # (graph_id, comp) decode dictionary AND the component's bnode count
+    # (the groupBy is the distinct) — replaces a distinct + a separate
+    # leaf-side sizes aggregation + their two broadcast joins with one
+    comp_sizes = (node_comp.groupBy("graph_id", "comp")
+                  .agg(F.count("*").alias("nb"))
+                  .withColumn("ck0", cd0).withColumn("ck1", cd1))
     # the component hash fold also emits the component's triple count
     # (nt) from the same two passes — no separate aggregation over th
     ghc = unordered_sum_pairs_sql(th, ["ck0", "ck1"], "t0", "t1",
                                   "g0", "g1", extra_init=blank_pair,
                                   count_col="nt") \
-        .join(_mb(comp_dict, n_comps, broadcast_rows), ["ck0", "ck1"])
+        .join(_mb(comp_sizes, n_comps, broadcast_rows), ["ck0", "ck1"])
 
     # duplicate-component key: with set-semantic input (deduped above) and
     # injective leaf colours, (g0, g1) is the unordered fold over the
@@ -843,11 +867,10 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # analogue of the oracle's graphs_seen TreeSet equality
     # (GraphLabelling.java:100-119); (nt, nb) guard the astronomically
     # rare md5 digest collision between non-isomorphic components
-    sizes = leaf.groupBy("ck0", "ck1").agg(F.count("*").alias("nb"))
     dup_w = Window.partitionBy("graph_id", "g0", "g1", "nt", "nb") \
                   .orderBy("comp")
     comp_mux = (
-        ghc.join(_mb(sizes, n_comps, broadcast_rows), ["ck0", "ck1"])
+        ghc
         .withColumn("rank", F.row_number().over(dup_w))
         # duplicate mux ints: first copy 0, then count+1 = 2, 3, ...
         # (GraphLabelling.java:100-119 passing count+1 to getCanonicalGraph)
@@ -856,13 +879,14 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                     .otherwise(F.col("rank")) if dip else F.lit(0))
         .withColumn("contributes",
                     F.lit(True) if dip else (F.col("rank") == 1))
-        .withColumn("mx", hash_int_udf(F.col("mux_i")))
+        .withColumns(dict(zip(("mx0", "mx1"), mx_exprs(F.col("mux_i")))))
         .select("graph_id", "ck0", "ck1", "contributes",
                 *(c.alias(n) for c, n in zip(combine2_pairs_sql(
-                    "g0", "g1", F.col("mx.h0"), F.col("mx.h1")),
+                    "g0", "g1", F.col("mx0"), F.col("mx1")),
                     ("cb0", "cb1"))))
     ).localCheckpoint(True)
     metrics["t_comp_mux_s"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
 
     # ---- upg: graph-level unique hash (GraphLabelling.java:137-150),
     # merged into the per-component mux table so every downstream consumer

@@ -163,6 +163,22 @@ def combine2_pairs_udf(a0: pd.Series, a1: pd.Series, b0: pd.Series,
     return pd.DataFrame({"h0": h0, "h1": h1})
 
 
+def hash_int_pair_sql(col: Column) -> tuple[Column, Column]:
+    """Guava ``hashInt`` for the md5 family as pure codegen: md5 over the
+    int's 4 little-endian bytes (hashing.hash_int twin — parity-tested).
+    Keeps the duplicate-mux digest out of the Python worker entirely."""
+    i = col.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    le = F.concat(*[
+        F.lpad(F.hex(F.shiftrightunsigned(i, 8 * k).bitwiseAND(F.lit(255))),
+               2, "0")
+        for k in range(4)])
+    h = F.md5(F.unhex(le))
+    raw0 = F.conv(F.substring(h, 1, 16), 16, -10).cast("long")
+    raw1 = F.conv(F.substring(h, 17, 16), 16, -10).cast("long")
+    return (raw0.bitwiseXOR(F.lit(MIN_LONG)),
+            raw1.bitwiseXOR(F.lit(MIN_LONG)))
+
+
 def hash_int_pair_udf_for(hash_name: str):
     """Guava hashInt as a stored pair, for any 16-byte hash family.
 
