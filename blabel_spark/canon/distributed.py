@@ -359,7 +359,8 @@ def _iteration_messages(static_msgs: DataFrame, bb_edges: DataFrame,
 
 
 def _next_colors(msgs: DataFrame, lab: DataFrame,
-                 salt_buckets: int = 0) -> DataFrame:
+                 salt_buckets: int = 0,
+                 lab_rows: int | None = None) -> DataFrame:
     """A1: sort(messages + own previous colour), combineOrdered-fold
     (GraphColouring.java:542-548).  Previous colours are unioned in as
     message rows and sort into place.
@@ -398,7 +399,21 @@ def _next_colors(msgs: DataFrame, lab: DataFrame,
                              F.col("c.h1").alias("h1"),
                              F.col("c.oh0").alias("oh0"),
                              F.col("c.oh1").alias("oh1"))
-    return fold_messages(all_msgs)
+    # late rounds shrink to a few active components: size the fold's
+    # exchange to the known active-bnode count so a small round pays a
+    # handful of Python-worker roundtrips instead of the full default
+    # partition count (capped at the default — 10^12-row rounds are
+    # unaffected; ≥ ~20k bnodes per task keeps Arrow batches efficient).
+    # Rounded UP to a multiple of the core count: a partition count just
+    # above it leaves most cores idle through a straggler second wave.
+    parts = None
+    if lab_rows:
+        spark = msgs.sparkSession
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cores = spark.sparkContext.defaultParallelism
+        target = max(1, lab_rows // 20_000 + 1)
+        parts = min(default, -(-target // cores) * cores)
+    return fold_messages(all_msgs, parts)
 
 
 def _kernel_colors(btri_kernel: DataFrame,
@@ -687,7 +702,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         _lazy_ok = (spark.sparkContext.getConf().get(
             "spark.checkpoint.checkpointAllMarkedAncestors", "false")
             == "true")
-        new_lab = _next_colors(msgs, lab, salt_buckets) \
+        new_lab = _next_colors(msgs, lab, salt_buckets, n_lab_rows) \
             .localCheckpoint(not _lazy_ok)
 
         # convergence + refinement audit riding the fold output: the fold

@@ -31,6 +31,12 @@ def get_spark(app: str = "blabel-spark", cpus: int | None = None,
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app)
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # companion JVM UDF jar (murmur3_128 via shaded Guava — see
+    # blabel_spark/jvm/); tiny, so always shipped when present
+    udf_jar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "jvm", "blabel-udfs.jar")
+    if os.path.exists(udf_jar):
+        builder = builder.config("spark.jars", udf_jar)
     return (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
