@@ -7,7 +7,7 @@ golden-tested against the reference's BlabelTest labels).
 
 ``queries()`` / ``oracle_sql()`` expose every implemented operator from
 SURVEY.md §2 plus the training-data ops (dedup / similarity / ANN / text
-analysis): 40 registered queries, each with a DuckDB oracle — live SQL
+analysis): 42 registered queries, each with a DuckDB oracle — live SQL
 where expressible, outputs precomputed by the independent local oracles
 for the non-SQL flagships (tools/gen_flagship_oracles.py), including a
 bit-exact per-bnode label comparison that forces the distributed

@@ -209,6 +209,58 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
             .where(F.col("sim") >= threshold))
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Near-duplicate CLUSTERS from pairwise matches: connected
+    components over the (doc_a, doc_b) pair graph, each document mapped
+    to its cluster keeper (minimum doc id) — the final stage of a dedup
+    pipeline (keep one representative per cluster, drop the rest).
+    Pairs may come from any of the pair producers (LSH+Jaccard, SimHash,
+    embedding near-dups) or their union.
+
+    Min-label propagation with pointer doubling fused into the
+    propagation join (same shape as canon.distributed.bnode_components):
+    one shuffle per round, O(log cluster-diameter) rounds — at corpus
+    scale near-dup clusters are shallow, and the edge table is the
+    candidate-pair output (≪ C(n,2)), so every round is a join over
+    pairs, never over the corpus.  Raises after ``max_iter`` rounds
+    instead of returning a split cluster.
+
+    Returns (doc_id, keeper_doc_id) for every document that appears in
+    at least one pair; docs without a match keep themselves by
+    construction and are not emitted.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"),
+                         F.col("doc_b").alias("b")).distinct()
+    sym = edges.union(edges.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))) \
+        .localCheckpoint(True)
+    comp = (sym.select(F.col("a").alias("doc_id")).distinct()
+            .withColumn("comp", F.col("doc_id")).localCheckpoint(True))
+    for _ in range(max_iter):
+        pointer = comp.select(F.col("comp").alias("a"),
+                              F.col("doc_id").alias("b"))
+        compr = comp.select(F.col("doc_id").alias("n"),
+                            F.col("comp").alias("nbr_comp"))
+        nbrs = sym.union(pointer)
+        nbr_min = (nbrs.join(compr, on=[nbrs.a == compr.n])
+                   .groupBy("b").agg(F.min("nbr_comp").alias("nbr_comp")))
+        new = (comp.join(nbr_min, on=[comp.doc_id == nbr_min.b], how="left")
+               .select("doc_id",
+                       F.least("comp", F.coalesce("nbr_comp", "comp"))
+                       .alias("comp"),
+                       (F.col("comp") != F.least(
+                           "comp", F.coalesce("nbr_comp", "comp")))
+                       .alias("changed"))).localCheckpoint(True)
+        n_changed = new.where("changed").count()
+        comp = new.drop("changed")
+        if n_changed == 0:
+            return comp.select("doc_id",
+                               F.col("comp").alias("keeper_doc_id"))
+    raise RuntimeError(
+        f"dedup_clusters failed to converge in {max_iter} rounds — "
+        "pathologically deep pair graph")
+
+
 def embedding_candidate_pairs(emb: DataFrame, n_bits: int = 16,
                               n_tables: int = 12, dim: int = 64,
                               seed: int = 42,

@@ -77,6 +77,35 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
                        *[scores[l].alias(f"score_{l}") for l in sorted(scores)])
 
 
+# PII patterns shared by the Spark operator and its DuckDB twin: RE2-class
+# regexes (no backrefs/lookaround) so both engines match identically
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone":
+        r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ]?[0-9]{4}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: emails / phone numbers / IPv4
+    addresses replaced by typed placeholders, with per-document match
+    counts for pipeline monitoring.  Pure codegen (regexp_count +
+    regexp_replace, RE2-class patterns) — the 100 TB shape is a map-only
+    pass with no shuffle at all.
+
+    Order matters: emails are scrubbed before IPs so a host part cannot
+    be re-matched; counts are taken on the ORIGINAL text.
+    """
+    text = F.col(text_col)
+    out = text
+    for name in ("email", "phone", "ip"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    cols = [F.regexp_count(text, F.lit(PII_PATTERNS[n])).alias(f"n_{n}")
+            for n in ("email", "phone", "ip")]
+    return docs.select("doc_id", out.alias("text_scrubbed"), *cols)
+
+
 def fingerprint(docs: DataFrame, k: int = 8,
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5(min k-shingle hash || length) — a cheap,

@@ -854,6 +854,72 @@ SELECT doc_id, CAST({fp} AS INT) AS simhash FROM votes
 SQL_SIMHASH = _sql_simhash()
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup cluster assignment (the dedup pipeline's final stage):
+    connected components over a pair graph, keeper = min doc id.  The
+    gate's pair graph chains consecutive docs within coarse simhash
+    buckets, so the keeper can only be found by TRANSITIVE propagation
+    through the chain — the property the CC loop must deliver."""
+    from pyspark.sql import Window
+
+    from blabel_spark.ops.dedup import dedup_clusters, simhash16
+    sh = simhash16(load(spark, sf, "documents")) \
+        .withColumn("g", F.pmod(F.col("simhash"), F.lit(256)))
+    w = Window.partitionBy("g").orderBy("doc_id")
+    pairs = (sh.withColumn("prev", F.lag("doc_id").over(w))
+             .where(F.col("prev").isNotNull())
+             .select(F.col("prev").alias("doc_a"),
+                     F.col("doc_id").alias("doc_b")))
+    return dedup_clusters(pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    """Twin exploits the chain construction: a bucket's chain connects
+    the whole bucket, so cluster keeper == bucket minimum."""
+    sh = _sql_simhash().strip().rstrip()
+    return f"""
+WITH sh AS ({sh}),
+b AS (SELECT doc_id, simhash % 256 AS g FROM sh),
+grp AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY g) AS keeper_doc_id,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM b)
+SELECT doc_id, keeper_doc_id FROM grp WHERE n >= 2
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
+
+
+def q_scrub_pii(spark, sf):
+    """PII scrubbing (emails/phones/IPv4 → typed placeholders + match
+    counts) — map-only codegen pass; DuckDB twin runs the same RE2-class
+    patterns, so the gate checks regex semantics parity across engines.
+    Planted-PII behaviour is pinned in tests/test_textstats_pii.py."""
+    from blabel_spark.ops.textstats import scrub_pii
+    return scrub_pii(load(spark, sf, "documents"))
+
+
+def _sql_scrub_pii() -> str:
+    from blabel_spark.ops.textstats import PII_PATTERNS
+    e, p, i = (PII_PATTERNS[k] for k in ("email", "phone", "ip"))
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{e}', '<EMAIL>', 'g'),
+           '{p}', '<PHONE>', 'g'),
+           '{i}', '<IP>', 'g') AS text_scrubbed,
+       len(regexp_extract_all(text, '{e}')) AS n_email,
+       len(regexp_extract_all(text, '{p}')) AS n_phone,
+       len(regexp_extract_all(text, '{i}')) AS n_ip
+FROM documents
+"""
+
+
+SQL_SCRUB_PII = _sql_scrub_pii()
+
+
 def q_token_stats(spark, sf):
     from blabel_spark.ops.textstats import token_stats
     return token_stats(load(spark, sf, "documents"))
@@ -1259,6 +1325,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash,
     "lsh_candidate_pairs": q_lsh_pairs,
     "simhash": q_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "scrub_pii": q_scrub_pii,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1306,6 +1374,8 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH,
     "lsh_candidate_pairs": SQL_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "scrub_pii": SQL_SCRUB_PII,
     "token_stats": SQL_TOKEN_STATS,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,

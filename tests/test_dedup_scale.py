@@ -70,6 +70,22 @@ def test_exact_dedup_counts(spark):
     assert out[0]["n_docs"] == 3 and out[0]["keeper_doc_id"] == 0
 
 
+def test_dedup_clusters_transitive(spark):
+    """CC over pairs must propagate transitively (chain + star + isolated
+    pair), keeper = min id; unmatched docs are not emitted."""
+    from blabel_spark.ops.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> keeper 1
+         (20, 21), (20, 22), (20, 23),    # star  -> keeper 20
+         (11, 10)],                       # reversed pair -> keeper 10
+        "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["keeper_doc_id"]
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   20: 20, 21: 20, 22: 20, 23: 20,
+                   10: 10, 11: 10}
+
+
 def test_embedding_near_dups_scale_operating_point(spark):
     """The 16-bit x 12-table default on a 5k-vector corpus: planted
     cosine-0.95 pairs are recovered at the banded-LSH recall the
