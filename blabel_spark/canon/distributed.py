@@ -192,6 +192,9 @@ def bnode_components(btri: DataFrame, max_iter: int = 64,
             .groupBy("b0", "b1")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
+        # lazy checkpoint + one action: the changed-count job materializes
+        # the round's state and truncates lineage — one job per round,
+        # not an eager-checkpoint job plus a count job
         new = (
             comp.join(nbr_min, on=[comp.k0 == nbr_min.b0,
                                    comp.k1 == nbr_min.b1], how="left")
@@ -201,7 +204,7 @@ def bnode_components(btri: DataFrame, max_iter: int = 64,
                     (F.col("comp") != F.least(
                         "comp", F.coalesce("nbr_comp", "comp")))
                     .alias("changed"))
-        ).localCheckpoint(True)
+        ).localCheckpoint(False)
         n_changed = new.where("changed").count()
         comp = new.drop("changed")
         if n_changed == 0:

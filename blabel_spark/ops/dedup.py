@@ -244,13 +244,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
         nbrs = sym.union(pointer)
         nbr_min = (nbrs.join(compr, on=[nbrs.a == compr.n])
                    .groupBy("b").agg(F.min("nbr_comp").alias("nbr_comp")))
+        # lazy checkpoint + one action per round (the changed-count job
+        # materializes the state and truncates lineage)
         new = (comp.join(nbr_min, on=[comp.doc_id == nbr_min.b], how="left")
                .select("doc_id",
                        F.least("comp", F.coalesce("nbr_comp", "comp"))
                        .alias("comp"),
                        (F.col("comp") != F.least(
                            "comp", F.coalesce("nbr_comp", "comp")))
-                       .alias("changed"))).localCheckpoint(True)
+                       .alias("changed"))).localCheckpoint(False)
         n_changed = new.where("changed").count()
         comp = new.drop("changed")
         if n_changed == 0:
