@@ -2,9 +2,13 @@
 """Benchmark: headline canonicalization throughput + per-operator timings.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]; prints ONE COMPACT JSON line LAST:
   {"metric": ..., "value": secs, "unit": "sec",
    "queries": {name: secs, ...}, "sf": ..., "triples_per_sec": ...}
+and writes the full detail (iteration logs, per-phase canon metrics) to
+BENCH_DETAIL.json next to this script.  The driver captures only a ~4 kB
+stdout tail, so the final line must stay small — keep nested metrics OUT
+of the printed object.
 
 The headline number is the end-to-end wall time of the distributed
 canonical-labelling fixpoint over the derived triples view (~1M triples at
@@ -120,7 +124,7 @@ def main() -> None:
         force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    out = {
+    headline = {
         "metric": "canonicalize_full_wall",
         "value": canon_secs,
         "unit": "sec",
@@ -130,14 +134,19 @@ def main() -> None:
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / canon_secs, 1),
         "fixpoint_triples_per_sec": round(n_triples / fixpoint_secs, 1),
-        "n_turns": n_turns,
-        "n_kg_triples": n_kg,
         "kg_turns_per_sec": round(
             n_turns / (timings["extract_transcripts"]
                        + timings["canonicalize_transcript_kg"]), 1),
-        "canon_metrics": res_fix.metrics,
-        "auto_route_metrics": res.metrics,
-        "deep_fixpoint": {
+        "deep_fixpoint_secs": deep_secs,
+        "deep_triples_per_sec": round(n_deep / deep_secs, 1),
+    }
+    detail = dict(
+        headline,
+        n_turns=n_turns,
+        n_kg_triples=n_kg,
+        canon_metrics=res_fix.metrics,
+        auto_route_metrics=res.metrics,
+        deep_fixpoint={
             "n_triples": n_deep,
             "n_graphs": n_chains,
             "secs": deep_secs,
@@ -145,8 +154,13 @@ def main() -> None:
             "colour_iterations": res_deep.metrics["colour_iterations"],
             "iterations_log": res_deep.metrics["iterations_log"],
         },
-    }
-    print(json.dumps(out))
+    )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, default=str)
+    # compact headline LAST so the driver's stdout-tail capture parses it
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

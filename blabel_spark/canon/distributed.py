@@ -234,8 +234,17 @@ def _ikey(*cols) -> tuple:
             F.xxhash64(F.lit(2), *[F.col(c) for c in cols]))
 
 
+
+# a component's triple rows are bounded by 2 × its graph's rows; below this
+# bound hash-partitioning btri on the component key cannot skew a partition
+# by more than ~1M rows over the average, so the mux tail's exchange-free
+# plan is safe.  Above it (one giant component) fall back to round-robin.
+COMP_PARTITION_ROWS_CAP = 1 << 20
+
+
 def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
-                           broadcast_rows: int = 0
+                           broadcast_rows: int = 0,
+                           max_graph_rows: int | None = None
                            ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Split into (bnode-touching triples with comp, static hash pairs and
     interned key columns, ground triples, bnode→comp table, n_bnodes).
@@ -265,18 +274,38 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
     # yields few input partitions at small SF (6 at sf0.1), and since the
     # comp decoration is a broadcast join nothing downstream would ever
     # re-exchange — every tail scan of the checkpointed btri (edge build,
-    # per-triple hashes, relabel) would run at scan parallelism.  One
-    # round-robin exchange of the raw strings here buys core-count
-    # parallelism for the hash computation and every later btri pass.
+    # per-triple hashes, relabel) would run at scan parallelism.  ONE
+    # exchange of the raw strings here buys core-count parallelism for the
+    # hash computation and every later btri pass — and when component rows
+    # are bounded (COMP_PARTITION_ROWS_CAP) it is keyed on (ck0, ck1)
+    # instead of round-robin: checkpoint preserves the HashPartitioning,
+    # so the mux tail's per-triple-hash dropDuplicates AND the component
+    # fold groupBy both become exchange-free (their clustering keys are
+    # supersets of the partitioning).  Gated: skip entirely when the comp
+    # join will NOT broadcast (its shuffle re-exchanges btri anyway) or —
+    # round-robin leg — when the input already has full parallelism; both
+    # would otherwise be a wasted full exchange at triple scale.
     parts = int(btri.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    comp_broadcasts = n_bnodes <= broadcast_rows
+    # partition count of the raw stream side (probing the post-join RDD
+    # would trigger the broadcast job)
+    cur_parts = btri.rdd.getNumPartitions() if comp_broadcasts else parts
     btri = (
-        btri.repartition(parts)
-        .withColumn("_anchor", anchor)
+        btri.withColumn("_anchor", anchor)
         .join(_mb(comp.withColumnRenamed("bnode", "_anchor"),
                   n_bnodes, broadcast_rows),
               ["graph_id", "_anchor"])
         .drop("_anchor")
         .withColumn("ck0", c0).withColumn("ck1", c1)
+    )
+    if comp_broadcasts:
+        if (max_graph_rows is not None
+                and 2 * max_graph_rows <= COMP_PARTITION_ROWS_CAP):
+            btri = btri.repartition(parts, "ck0", "ck1")
+        elif cur_parts < parts:
+            btri = btri.repartition(parts)
+    btri = (
+        btri
         .withColumn("p0", p0).withColumn("p1", p1)
         .withColumn("ss0", F.when(~is_bnode_col("subj"), s0))
         .withColumn("ss1", F.when(~is_bnode_col("subj"), s1))
@@ -469,6 +498,22 @@ DEFAULT_MAX_ITERATIONS = 64
 DEFAULT_SALT_BUCKETS = "auto"
 
 
+def _lazy_checkpoint_ok(spark: SparkSession) -> bool:
+    """Whether per-round LAZY localCheckpoints are sound on this session.
+
+    ``RDD.doCheckpoint`` recursion stops at the first checkpoint-marked
+    RDD unless ``spark.checkpoint.checkpointAllMarkedAncestors`` is set
+    (a static conf — ``spark_util.get_spark`` sets it): with two stacked
+    lazy checkpoints (colours under the convergence table) the inner one
+    would never truncate and per-round plans DOUBLE (diagnosed from event
+    logs in round 4: job stage counts growing ~3/round, "Broadcasting
+    large task binary" warnings).  On foreign sessions the loop falls
+    back to an eager (own-job) colour checkpoint — two jobs per round."""
+    return (spark.sparkContext.getConf().get(
+        "spark.checkpoint.checkpointAllMarkedAncestors", "false")
+        == "true")
+
+
 def _warn_by_graph_ignores(metrics: dict, checkpoint_dir, max_iterations,
                            salt_buckets) -> None:
     """The per-graph kernel route has no mid-fixpoint state, so
@@ -591,7 +636,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # is dropDuplicates'd
     triples = triples.select(*TRIPLE_COLS)
     btri, ground, node_comp, n_bnodes = _prepare_bnode_triples(
-        triples, tp, broadcast_rows)
+        triples, tp, broadcast_rows, max_graph_rows=int(biggest))
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()
     metrics["n_bnodes"] = n_bnodes
@@ -677,9 +722,19 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # status counts and wall times (the "per-partition lineage + metrics"
     # north_rule line, at fixpoint granularity)
     iter_log: list[dict] = []
+    _sc = spark.sparkContext
     while True:
         it += 1
         _it_t0 = _time.time()
+        # every job this round fires (eager-fallback checkpoint + status
+        # collect, or just the collect on the lazy path) runs under a
+        # per-round job group: iterations_log records the round's job and
+        # stage counts, which MUST stay flat across rounds — growth is the
+        # lazy-checkpoint lineage bug (see _lazy_checkpoint_ok), and the
+        # regression test pins exactly this invariant.
+        _grp = f"blabel-fixpoint-it{it}"
+        _prev_grp = _sc.getLocalProperty("spark.jobGroup.id")
+        _sc.setJobGroup(_grp, "colour-refinement round")
         sm = static_msgs if active is None else \
             static_msgs.join(_mb(active, n_act, broadcast_rows),
                              CK, "left_semi")
@@ -702,11 +757,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         # the marked convergence table would never truncate and per-round
         # plans double in size; on foreign sessions fall back to an eager
         # (own-job) colour checkpoint, i.e. two jobs per round.
-        _lazy_ok = (spark.sparkContext.getConf().get(
-            "spark.checkpoint.checkpointAllMarkedAncestors", "false")
-            == "true")
         new_lab = _next_colors(msgs, lab, salt_buckets, n_lab_rows) \
-            .localCheckpoint(not _lazy_ok)
+            .localCheckpoint(not _lazy_checkpoint_ok(spark))
 
         # convergence + refinement audit riding the fold output: the fold
         # passes each bnode's previous colour through (oh columns), so we
@@ -738,14 +790,24 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                         .otherwise("active"))
         ).localCheckpoint(False)
 
-        crows = conv.groupBy("status").agg(F.count("*").alias("n"),
-                                           F.sum("nb").alias("b")).collect()
+        try:
+            crows = conv.groupBy("status") \
+                .agg(F.count("*").alias("n"),
+                     F.sum("nb").alias("b")).collect()
+        finally:
+            _sc.setLocalProperty("spark.jobGroup.id", _prev_grp)
+        _st = _sc.statusTracker()
+        _jids = _st.getJobIdsForGroup(_grp)
+        _jinfos = [_st.getJobInfo(j) for j in _jids]
         counts = {r["status"]: int(r["n"]) for r in crows}
         bcounts = {r["status"]: int(r["b"]) for r in crows}
         if it == 1 and restored is None:
             metrics["n_components"] = sum(counts.values())
         iter_log.append({"iteration": it,
                          "t_round_s": round(_time.time() - _it_t0, 3),
+                         "n_jobs": len(_jids),
+                         "n_stages": sum(len(i.stageIds) for i in _jinfos
+                                         if i is not None),
                          **{f"n_{k}": int(v) for k, v in counts.items()}})
         done_comps = conv.where(F.col("status") == "discrete").select(*CK)
         stall_comps = conv.where(F.col("status") == "stalled").select(*CK)

@@ -94,8 +94,11 @@ def main(argv: list[str] | None = None) -> int:
         from blabel_spark.testing import metamorphic_report, to_test_tsv
         spark = get_spark("blabel-test", cpus=args.cpus)
         triples = read_ntriples(spark, args.input)
+        # checkpoint: the report tail (dual-route labelling + joins) would
+        # otherwise re-run for the status-count collect after the TSV write
         rep = metamorphic_report(spark, triples, shuffles=args.shuffles,
-                                 lean=not args.no_lean, seed=args.seed)
+                                 lean=not args.no_lean,
+                                 seed=args.seed).localCheckpoint(True)
         to_test_tsv(rep).coalesce(1).write.mode("overwrite") \
             .text(args.output)
         counts = {r["s"]: r["n"] for r in

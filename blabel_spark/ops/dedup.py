@@ -100,13 +100,27 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, k: int = 5,
     )
 
 
+def shingle_input_docs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Docs that appear on either side of a candidate pair — the ONLY
+    rows the Jaccard verify stage needs to shingle.  Candidate sets are
+    typically a few percent of the corpus, so semi-joining here keeps the
+    k×-expansion explode off the other ~95% (at 100 TB the difference is
+    materializing the whole corpus k times vs just the pair members)."""
+    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .union(pairs.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    return docs.join(ids, "doc_id", "left_semi")
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5,
                   text_col: str = "text", unit: str = "char") -> DataFrame:
     """Jaccard similarity over distinct k-shingles for the given candidate
-    pairs only (never all pairs)."""
+    pairs only (never all pairs, never shingling docs outside the pairs)."""
     # materialized once: the shingle relation feeds the per-doc counts AND
-    # both sides of the intersection join
-    shingles = docs.select(
+    # both sides of the intersection join.  Restricted to pair members
+    # BEFORE the explode — shingling the full corpus to verify a small
+    # candidate set is a linear-but-needless k× materialization.
+    shingles = shingle_input_docs(docs, pairs).select(
         "doc_id",
         F.explode(F.array_distinct(_shingles(text_col, k, unit)))
         .alias("sh")).localCheckpoint(True)

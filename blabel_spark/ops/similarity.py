@@ -147,6 +147,47 @@ def multitable_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(k))
 
 
+def _table_bucket_cols(col: Column, dim: int, n_bits: int, n_tables: int,
+                       seed: int) -> list[Column]:
+    """One sign-LSH bucket string per table — pure codegen (the seeded
+    hyperplane weights are array literals)."""
+    out = []
+    for t in range(n_tables):
+        W = projection_matrix(dim, n_bits, seed + t)
+        bits = [_proj_bit(col, W[i]) for i in range(n_bits)]
+        out.append(F.concat(*bits))
+    return out
+
+
+def batch_candidate_ids(emb: DataFrame, queries: DataFrame, *,
+                        n_bits: int = 8, n_tables: int = 6, seed: int = 42,
+                        vec_col: str = "embedding", qvec_col: str = "qvec",
+                        dim: int = 64) -> DataFrame:
+    """Distinct (query_id, vec_id) ANN candidate pairs from the banded
+    bucket equi-join — ID COLUMNS ONLY, by construction.
+
+    The bucket strings are computed map-side FROM the vectors, but the
+    explode → join → dropDuplicates pipeline carries just
+    (table_id, bucket, id): a pair sharing buckets in several tables is
+    deduped without shuffling 2×dim floats per candidate row (at real
+    embedding widths the payload would dominate the exchange).  Callers
+    attach vectors after the distinct with one join per side."""
+    data_keyed = emb.select(
+        "vec_id",
+        F.posexplode(F.array(*_table_bucket_cols(
+            F.col(vec_col), dim, n_bits, n_tables, seed)))
+        .alias("table_id", "bucket"))
+    q_keyed = queries.select(
+        "query_id",
+        F.posexplode(F.array(*_table_bucket_cols(
+            F.col(qvec_col), dim, n_bits, n_tables, seed)))
+        .alias("table_id", "bucket"))
+    return (q_keyed.join(data_keyed, ["table_id", "bucket"])
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "vec_id")
+            .dropDuplicates(["query_id", "vec_id"]))
+
+
 def lsh_topk_many(emb: DataFrame, queries: DataFrame, k: int = 10,
                   n_bits: int = 8, n_tables: int = 6, seed: int = 42,
                   vec_col: str = "embedding",
@@ -171,31 +212,19 @@ def lsh_topk_many(emb: DataFrame, queries: DataFrame, k: int = 10,
     """
     from pyspark.sql import Window
 
-    def bucket_cols(col):
-        out = []
-        for t in range(n_tables):
-            W = projection_matrix(dim, n_bits, seed + t)
-            bits = [_proj_bit(col, W[i]) for i in range(n_bits)]
-            out.append(F.concat(*bits))
-        return out
-
-    data_keyed = emb.select(
-        "vec_id", "label", vec_col,
-        F.posexplode(F.array(*bucket_cols(F.col(vec_col))))
-        .alias("table_id", "bucket"))
-    q_keyed = queries.select(
-        "query_id", qvec_col,
-        F.posexplode(F.array(*bucket_cols(F.col(qvec_col))))
-        .alias("table_id", "bucket"))
-    # distinct (query, candidate) BEFORE scoring: a pair sharing buckets
-    # in several tables must be scored once
-    cand = (q_keyed.join(data_keyed, ["table_id", "bucket"])
-            .where(F.col("query_id") != F.col("vec_id"))
-            .select("query_id", qvec_col, "vec_id", "label", vec_col)
-            .dropDuplicates(["query_id", "vec_id"]))
+    # candidate generation + dedup run over BARE ID PAIRS (see
+    # batch_candidate_ids); vectors are attached AFTER the distinct, one
+    # join per side (queries is typically broadcast-size; the emb join
+    # shuffles only the deduped candidates).
+    cand = batch_candidate_ids(emb, queries, n_bits=n_bits,
+                               n_tables=n_tables, seed=seed,
+                               vec_col=vec_col, qvec_col=qvec_col, dim=dim)
+    scored = (cand
+              .join(queries.select("query_id", qvec_col), "query_id")
+              .join(emb.select("vec_id", "label", vec_col), "vec_id"))
     w = Window.partitionBy("query_id") \
               .orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (cand.select(
+    return (scored.select(
                 "query_id", "vec_id", "label",
                 F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4)
                 .alias("sim"))

@@ -61,6 +61,29 @@ def test_driver_corpus_selectivity(spark):
     assert pairs.count() < n * (n - 1) // 2 * 0.10
 
 
+def test_ngram_shingles_only_pair_members(spark, monkeypatch):
+    """The Jaccard verify stage must shingle ONLY docs appearing in the
+    candidate pairs — at 100 TB an unrestricted explode materializes the
+    whole corpus k× to verify a few-percent candidate set."""
+    import blabel_spark.ops.dedup as dd
+    docs = _docs(spark)                    # 123 docs
+    pairs = spark.createDataFrame([(0, 120), (1, 121)],
+                                  "doc_a long, doc_b long")
+    seen = {}
+    orig = dd.shingle_input_docs
+
+    def spy(d, p):
+        out = orig(d, p)
+        seen["n"] = out.count()
+        return out
+
+    monkeypatch.setattr(dd, "shingle_input_docs", spy)
+    res = dd.ngram_jaccard(docs, pairs, k=3, unit="word").collect()
+    assert seen["n"] == 4, "shingle stage must see pair members only"
+    assert len(res) == 2
+    assert all(r["jaccard"] > 0.8 for r in res)
+
+
 def test_exact_dedup_counts(spark):
     from blabel_spark.ops.dedup import exact_duplicates
     rows = [(0, "a b c"), (1, "a b c"), (2, "unique text"), (3, "a b c")]

@@ -137,6 +137,24 @@ def test_sql_combine_kernels_match_arrow(spark):
     assert a == b
 
 
+def test_hash_int_pair_sql_matches_scalar(spark):
+    """Direct parity for the codegen duplicate-mux digest: a byte-order
+    or conv/XOR-encoding regression must fail HERE, not as an opaque
+    end-to-end golden-label mismatch."""
+    from pyspark.sql import functions as F
+
+    from blabel_spark.hashing import enc_pair
+    from blabel_spark.pair_kernels import hash_int_pair_sql
+    vals = [0, 1, 2, 255, 256, 2**31 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "i long")
+    h0, h1 = hash_int_pair_sql(F.col("i"))
+    got = {r["i"]: (r["h0"], r["h1"])
+           for r in df.select("i", h0.alias("h0"), h1.alias("h1"))
+           .collect()}
+    want = {v: enc_pair(hash_int(v)) for v in vals}
+    assert got == want
+
+
 def test_by_graph_route_warns_on_ignored_fixpoint_options(spark):
     """checkpoint_dir (and other fixpoint-only knobs) must not be
     silently dropped when the per-graph kernel route is taken."""

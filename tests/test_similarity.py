@@ -138,6 +138,35 @@ def test_lsh_topk_many_matches_single_query_path(spark):
         assert ranks == list(range(1, len(rows) + 1)), q
 
 
+def test_batch_candidate_exchange_carries_no_vectors(spark):
+    """The batch-ANN candidate dedup must exchange bare (query_id,
+    vec_id) pairs: shuffling 2×dim floats per candidate row doubles-plus
+    the exchange width at real embedding dims.  Checked on the physical
+    plan — no Exchange operator's input may contain a vector column."""
+    import io
+    from contextlib import redirect_stdout
+
+    from blabel_spark.ops.similarity import batch_candidate_ids
+    # checkpointed inputs: the limit() would otherwise add its own
+    # SinglePartition exchange (a test artifact, not the operator's plan)
+    emb = _emb(spark).limit(200).localCheckpoint(True)
+    queries = (emb.limit(20)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec"))
+               .localCheckpoint(True))
+    cand = batch_candidate_ids(emb, queries, n_bits=6, n_tables=6)
+    assert cand.columns == ["query_id", "vec_id"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    blocks = [b for b in plan.split("\n\n") if b.lstrip().startswith("(")]
+    exchanges = [b for b in blocks if "Exchange" in b.splitlines()[0]]
+    assert exchanges, plan  # the dedup shuffle must exist
+    for b in exchanges:
+        assert "embedding" not in b and "qvec" not in b, b
+
+
 def test_lsh_topk_multiprobe_and_missing_query(spark):
     """multiprobe=2 genuinely probes Hamming-2 neighbours (strictly more
     candidates than multiprobe=1 on clustered data) and a missing query
