@@ -235,16 +235,8 @@ def _ikey(*cols) -> tuple:
 
 
 
-# a component's triple rows are bounded by 2 × its graph's rows; below this
-# bound hash-partitioning btri on the component key cannot skew a partition
-# by more than ~1M rows over the average, so the mux tail's exchange-free
-# plan is safe.  Above it (one giant component) fall back to round-robin.
-COMP_PARTITION_ROWS_CAP = 1 << 20
-
-
 def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
-                           broadcast_rows: int = 0,
-                           max_graph_rows: int | None = None
+                           broadcast_rows: int = 0
                            ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Split into (bnode-touching triples with comp, static hash pairs and
     interned key columns, ground triples, bnode→comp table, n_bnodes).
@@ -274,22 +266,20 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
     # yields few input partitions at small SF (6 at sf0.1), and since the
     # comp decoration is a broadcast join nothing downstream would ever
     # re-exchange — every tail scan of the checkpointed btri (edge build,
-    # per-triple hashes, relabel) would run at scan parallelism.  ONE
-    # exchange of the raw strings here buys core-count parallelism for the
-    # hash computation and every later btri pass — and when component rows
-    # are bounded (COMP_PARTITION_ROWS_CAP) it is keyed on (ck0, ck1)
-    # instead of round-robin: checkpoint preserves the HashPartitioning,
-    # so the mux tail's per-triple-hash dropDuplicates AND the component
-    # fold groupBy both become exchange-free (their clustering keys are
-    # supersets of the partitioning).  Gated: skip entirely when the comp
-    # join will NOT broadcast (its shuffle re-exchanges btri anyway) or —
-    # round-robin leg — when the input already has full parallelism; both
-    # would otherwise be a wasted full exchange at triple scale.
+    # per-triple hashes, relabel) would run at scan parallelism.  One
+    # round-robin exchange of the raw strings here buys core-count
+    # parallelism for the hash computation and every later btri pass.
+    # Gated (ADVICE r4): skip when the comp join will NOT broadcast (its
+    # shuffle re-exchanges btri on the join key anyway) or when the input
+    # already has full parallelism — both would make this a wasted full
+    # exchange of the raw triple strings at triple scale.  (Keying this
+    # exchange on (ck0, ck1) instead was tried and is USELESS: localCheckpoint
+    # under AQE captures UnknownPartitioning, so downstream aggregations
+    # cannot see the co-partitioning — the mux tail repartitions itself.)
     parts = int(btri.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     comp_broadcasts = n_bnodes <= broadcast_rows
-    # partition count of the raw stream side (probing the post-join RDD
-    # would trigger the broadcast job)
-    cur_parts = btri.rdd.getNumPartitions() if comp_broadcasts else parts
+    if comp_broadcasts and btri.rdd.getNumPartitions() < parts:
+        btri = btri.repartition(parts)
     btri = (
         btri.withColumn("_anchor", anchor)
         .join(_mb(comp.withColumnRenamed("bnode", "_anchor"),
@@ -297,15 +287,6 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
               ["graph_id", "_anchor"])
         .drop("_anchor")
         .withColumn("ck0", c0).withColumn("ck1", c1)
-    )
-    if comp_broadcasts:
-        if (max_graph_rows is not None
-                and 2 * max_graph_rows <= COMP_PARTITION_ROWS_CAP):
-            btri = btri.repartition(parts, "ck0", "ck1")
-        elif cur_parts < parts:
-            btri = btri.repartition(parts)
-    btri = (
-        btri
         .withColumn("p0", p0).withColumn("p1", p1)
         .withColumn("ss0", F.when(~is_bnode_col("subj"), s0))
         .withColumn("ss1", F.when(~is_bnode_col("subj"), s1))
@@ -636,7 +617,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # is dropDuplicates'd
     triples = triples.select(*TRIPLE_COLS)
     btri, ground, node_comp, n_bnodes = _prepare_bnode_triples(
-        triples, tp, broadcast_rows, max_graph_rows=int(biggest))
+        triples, tp, broadcast_rows)
     btri = btri.localCheckpoint(True)
     metrics["bnode_triples"] = btri.count()
     metrics["n_bnodes"] = n_bnodes
@@ -923,7 +904,14 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # per-triple hash rows, deduplicated (set semantics; distinct triples
     # have distinct (t0, t1) because leaf colours are injective, so this
     # 4-long dropDuplicates IS triple dedup, far narrower than shuffling
-    # the string triples)
+    # the string triples).  This one exchange is the tail's structural
+    # minimum: a pre-keyed single-exchange variant (repartition on
+    # (ck0, ck1) feeding both the distinct and the fold) measured a
+    # consistent +13% REGRESSION in an interleaved A/B at sf0.1 — the
+    # fold's second exchange is already collapsed by partial aggregation
+    # (per-partition lane sums ≈ n_comps × n_partitions rows at any
+    # scale), so the explicit keying only forfeits map-side dedup and the
+    # balanced 4-key hash (BENCH.md round 5).
     th = btrij.select("ck0", "ck1", tm0.alias("t0"), tm1.alias("t1")) \
         .dropDuplicates()
     cd0, cd1 = _ikey("graph_id", "comp")
