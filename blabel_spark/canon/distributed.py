@@ -73,11 +73,69 @@ def _mb(df: DataFrame, n_rows: int | None, limit: int) -> DataFrame:
     return df
 
 
+def _ckpt_rdd(df: DataFrame):
+    """JVM handle of the RDD backing a local-checkpointed DataFrame (its
+    analyzed plan is a ``LogicalRDD``); None for any other plan.  Used to
+    release checkpoint blocks the instant their last consumer has
+    materialized — a long fixpoint otherwise retains O(rounds)
+    corpus-scale tables in the block manager for the life of the session
+    (the ContextCleaner only frees them after a driver full-GC, which a
+    large heap may not run for hours)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        # a checkpointed df wrapped in narrow projections (e.g. a .drop)
+        # still rides the same blocks — descend to the scan, but only
+        # through nodes that cannot hide a DIFFERENT checkpoint
+        while (plan.getClass().getSimpleName() in ("Project", "Filter")
+               and plan.children().size() == 1):
+            plan = plan.children().apply(0)
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return plan.rdd()
+    except Exception:  # pragma: no cover — py4j surface drift
+        return None
+
+
+def _release(handles) -> None:
+    """Non-blocking unpersist of tracked checkpoint RDD handles.  Only
+    sound once every downstream consumer of the blocks has materialized
+    (checkpoint lineage is truncated — a late consumer could not
+    recompute them)."""
+    for h in handles:
+        if h is None:
+            continue
+        try:
+            h.unpersist(False)
+        except Exception:  # pragma: no cover — context already stopped
+            pass
+
+
 @dataclass
 class CanonResult:
     labelled: DataFrame         # (graph_id, subj, pred, obj) canonical
     labels: DataFrame           # (graph_id, bnode, label)
     metrics: dict = field(default_factory=dict)
+    # checkpoint RDD handles still backing labelled/labels (btri, the CC
+    # node table, the per-bnode label table).  Intermediates superseded
+    # during the run are released before the result is returned.
+    _retained: list = field(default_factory=list, repr=False)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release every checkpoint block still held for this result.
+        Call once ``labelled``/``labels`` have been consumed (written or
+        collected) — afterwards they can no longer be recomputed.  The
+        session-hygiene hook for long-lived sessions running many
+        corpora: without it each finished canonicalize keeps
+        corpus-scale state in the block manager until a driver full-GC
+        lets the ContextCleaner collect it."""
+        for h in self._retained:
+            if h is None:
+                continue
+            try:
+                h.unpersist(blocking)
+            except Exception:  # pragma: no cover
+                pass
+        self._retained = []
 
 
 # ---------------------------------------------------------------------------
@@ -173,8 +231,13 @@ def bnode_components(btri: DataFrame, max_iter: int = 64,
                                    F.col("a0").alias("b0"),
                                    F.col("a1").alias("b1")))
     sym = sym.localCheckpoint(True)
+    sym_h = _ckpt_rdd(sym)
 
     comp = nodes.withColumn("comp", F.col("bnode")).localCheckpoint(True)
+    # each round's state supersedes the previous round's checkpoint the
+    # moment the changed-count job materializes it — release superseded
+    # blocks immediately so the loop retains O(1) tables, not O(rounds)
+    prev_h = _ckpt_rdd(comp)
     pk0, pk1 = _ikey("graph_id", "comp")
     for _ in range(max_iter):
         # pointer doubling fused into the propagation join: besides the
@@ -206,8 +269,13 @@ def bnode_components(btri: DataFrame, max_iter: int = 64,
                     .alias("changed"))
         ).localCheckpoint(False)
         n_changed = new.where("changed").count()
+        _release([prev_h])
+        prev_h = _ckpt_rdd(new)
         comp = new.drop("changed")
         if n_changed == 0:
+            # the final comp table stays (it IS the return value); only
+            # the edge table dies with the loop
+            _release([sym_h])
             return comp.drop("k0", "k1")
     raise RuntimeError(
         f"bnode_components failed to converge in {max_iter} rounds — "
@@ -619,6 +687,10 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     btri, ground, node_comp, n_bnodes = _prepare_bnode_triples(
         triples, tp, broadcast_rows)
     btri = btri.localCheckpoint(True)
+    # checkpoint-block bookkeeping: handles whose blocks back the FINAL
+    # result (released only by CanonResult.unpersist) vs loop-era state
+    # released the moment its last consumer materializes
+    result_handles = [_ckpt_rdd(btri), _ckpt_rdd(node_comp)]
     metrics["bnode_triples"] = btri.count()
     metrics["n_bnodes"] = n_bnodes
     metrics["t_prep_s"] = round(_time.time() - _t0, 3)
@@ -636,6 +708,9 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # static/dynamic split stays lazy codegen over it
     edges = _edge_views(btri, plus_pair, minus_pair) \
         .dropDuplicates().localCheckpoint(True)
+    # loop-era checkpoints: dead once `leaf` (their last consumer)
+    # materializes
+    loop_handles = [_ckpt_rdd(edges)]
     static_msgs, bb_edges = _split_edges(edges)
     # materialize the bnode→bnode edge table pre-partitioned on the colour
     # lookup key: when the colour table outgrows broadcast_rows, each
@@ -644,6 +719,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     bb_edges = bb_edges.repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         "ok0", "ok1").localCheckpoint(True)
+    loop_handles.append(_ckpt_rdd(bb_edges))
 
     if salt_buckets == "auto":
         # hub probe: a bnode's per-round fold size == its message count,
@@ -673,8 +749,10 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         resolved = [res_df] if res_df is not None else []
         kernel_parts = [kern_df] if kern_df is not None else []
         active = conv_prev.select(*CK).localCheckpoint(True)
+        loop_handles.append(_ckpt_rdd(active))
         n_act = conv_prev.count()
         n_lab_rows = lab.count()
+        prev_round = []
     else:
         # node_comp already holds exactly one row per (graph, bnode): the
         # initial colour table is pure codegen over it — no distinct
@@ -689,6 +767,9 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         ).localCheckpoint(True)
 
         conv_prev = lab.groupBy(*CK).agg(F.lit(1).alias("prev_nc"))
+        # round 1 is the initial colour table's only consumer: retire it
+        # with that round like any other superseded round state
+        prev_round = [(_ckpt_rdd(lab), False)]
         # free upper bound for round-1 broadcast decisions (components ≤
         # bnodes); the exact count lands in metrics after round 1
         n_act = n_bnodes
@@ -802,6 +883,21 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                 _mb(stall_comps, counts["stalled"], broadcast_rows),
                 CK, "left_semi"))
 
+        # the previous round's checkpoints are superseded the moment this
+        # round's status collect materializes the new pair: release them
+        # NOW unless a resolved/kernel view still reads them (those are
+        # consumed when `leaf` materializes) — the loop then retains O(1)
+        # round tables instead of O(rounds), which at corpus scale is the
+        # difference between a bounded block-manager footprint and
+        # memory-squeezing dead state for the rest of the session
+        for h, contributed in prev_round:
+            (loop_handles.append(h) if contributed else _release([h]))
+        prev_round = [(_ckpt_rdd(new_lab),
+                       bool(counts.get("discrete"))),
+                      (_ckpt_rdd(conv),
+                       bool(counts.get("discrete"))
+                       or bool(counts.get("stalled")))]
+
         n_active = counts.get("active", 0)
         if n_active == 0 or it >= max_iterations:
             if n_active and it >= max_iterations:
@@ -839,6 +935,10 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     metrics["iterations_log"] = iter_log
     metrics["t_loop_s"] = round(_time.time() - _t0, 3)
     _t0 = _time.time()
+    # final-round tables feed the resolved/kernel views consumed by leaf
+    # below (incl. the over-budget path's conv reference) — release them
+    # with the rest of the loop-era state once leaf has materialized
+    loop_handles.extend(h for h, _ in prev_round)
 
     # leaf colours: distributed-discrete ∪ kernel output (interned schema)
     parts = list(resolved)
@@ -853,8 +953,10 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                                b0.alias("bk0"), b1.alias("bk1"),
                                "h0", "h1"))
     if not parts:
+        # bnode-free corpus: the result references none of our state
         empty = spark.createDataFrame(
             [], "graph_id string, bnode string, label string")
+        _release(loop_handles + result_handles)
         return CanonResult(triples.select(*TRIPLE_COLS).dropDuplicates(),
                            empty, metrics)
     leaf = parts[0]
@@ -862,6 +964,10 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         leaf = leaf.union(p)
     leaf = leaf.localCheckpoint(True)
     n_leaf = leaf.count()
+    # leaf (just materialized) was the last consumer of every loop-era
+    # table: the edge tables, the initial colours and each round's
+    # surviving new_lab/conv blocks all die here
+    _release(loop_handles)
     # per-component broadcast bound: exact after a fresh round 1; on a
     # resumed run only the still-active count was seen, so fall back to
     # the safe per-bnode upper bound (components ≤ bnodes)
@@ -953,6 +1059,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                     "g0", "g1", F.col("mx0"), F.col("mx1")),
                     ("cb0", "cb1"))))
     ).localCheckpoint(True)
+    comp_mux_h = _ckpt_rdd(comp_mux)
     metrics["t_comp_mux_s"] = round(_time.time() - _t0, 3)
     _t0 = _time.time()
 
@@ -1002,6 +1109,11 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                 F.concat(F.lit("_:SK00"), pair_hex(fc0, fc1))
                 .alias("label"))
     ).localCheckpoint(True)
+    # leaf_final (just materialized) supersedes both the raw leaf colours
+    # and the per-component mux table — release them; the result now rides
+    # on exactly three checkpoints: btri, node_comp, leaf_final
+    _release([_ckpt_rdd(leaf), comp_mux_h])
+    result_handles.append(_ckpt_rdd(leaf_final))
     # bnode decode dictionary: the CC node table already holds one row per
     # distinct (graph, bnode) and is checkpointed — attach keys by codegen,
     # no extra distinct shuffle
@@ -1036,7 +1148,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         .union(ground)
         .dropDuplicates()
     )
-    return CanonResult(labelled, labels, metrics)
+    return CanonResult(labelled, labels, metrics,
+                       _retained=result_handles)
 
 
 # ---------------------------------------------------------------------------
@@ -1105,4 +1218,5 @@ def canonicalize_by_graph(spark: SparkSession, triples: DataFrame, *,
         metrics["failed_sample"] = [
             (r["graph_id"], r["a"])
             for r in out.where(F.col("kind") == "e").limit(5).collect()]
-    return CanonResult(labelled, labels, metrics)
+    return CanonResult(labelled, labels, metrics,
+                       _retained=[_ckpt_rdd(out)])

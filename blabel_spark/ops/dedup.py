@@ -250,6 +250,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
         .localCheckpoint(True)
     comp = (sym.select(F.col("a").alias("doc_id")).distinct()
             .withColumn("comp", F.col("doc_id")).localCheckpoint(True))
+    # release each round's superseded checkpoint immediately (same O(1)
+    # retained-state discipline as canon.distributed.bnode_components)
+    from blabel_spark.canon.distributed import _ckpt_rdd, _release
+    sym_h = _ckpt_rdd(sym)
+    prev_h = _ckpt_rdd(comp)
     for _ in range(max_iter):
         pointer = comp.select(F.col("comp").alias("a"),
                               F.col("doc_id").alias("b"))
@@ -268,8 +273,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
                            "comp", F.coalesce("nbr_comp", "comp")))
                        .alias("changed"))).localCheckpoint(False)
         n_changed = new.where("changed").count()
+        _release([prev_h])
+        prev_h = _ckpt_rdd(new)
         comp = new.drop("changed")
         if n_changed == 0:
+            _release([sym_h])
             return comp.select("doc_id",
                                F.col("comp").alias("keeper_doc_id"))
     raise RuntimeError(

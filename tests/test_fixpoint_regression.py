@@ -57,6 +57,40 @@ def test_lazy_path_flat_plans(spark):
     _assert_flat(res.metrics["iterations_log"])
 
 
+def test_loop_retains_o1_checkpoints_and_unpersist(spark):
+    """A long fixpoint must not accumulate O(rounds) checkpointed tables:
+    superseded round state is released the moment its last consumer
+    materializes, the returned result rides on a fixed handful of blocks
+    (btri, node table, final labels), and ``CanonResult.unpersist``
+    releases those too once the result has been consumed — the
+    session-hygiene contract for long-lived sessions running many
+    corpora."""
+    from blabel_spark.canon import distributed as D
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = persistent_ids()
+    tri = _chain_corpus(spark)
+    res = D.canonicalize(spark, tri, route="fixpoint")
+    rows = res.labels.count()
+    assert rows > 0
+    assert res.metrics["colour_iterations"] >= 5
+    ours = persistent_ids() - before
+    # input checkpoint (tri) + btri + node_comp/CC + leaf_final, NOT
+    # 2 tables x colour_iterations
+    assert len(ours) <= 6, (
+        f"fixpoint retained {len(ours)} checkpointed RDDs after "
+        f"{res.metrics['colour_iterations']} rounds — loop state leaking")
+    res.unpersist(blocking=True)
+    left = persistent_ids() - before
+    # only the test's own input checkpoint may remain
+    assert len(left) <= 1, (
+        f"unpersist left {len(left)} RDDs behind")
+    # the result is no longer usable after unpersist — that's documented
+
+
 def test_eager_fallback_parity_and_flat_plans(spark, monkeypatch):
     from blabel_spark.canon import distributed as D
     tri = _chain_corpus(spark)

@@ -48,11 +48,20 @@ corpus = (base.select(
 n = corpus.count()
 out["n_triples"] = n
 
+def storage_mb():
+    infos = spark._jsparkSession.sparkContext().getRDDStorageInfo()
+    return round(sum(i.memSize() for i in infos) / 2**20, 1)
+
+
 t0 = time.time()
 res_auto = canonicalize(spark, corpus)
 noop(res_auto.labelled)
 out["auto_wall_s"] = round(time.time() - t0, 3)
 out["auto_tps"] = round(n / out["auto_wall_s"], 1)
+# session hygiene between phases: a consumed result's checkpoint blocks
+# are dead weight for the rest of the session
+out["storage_mb_before_release"] = storage_mb()
+res_auto.unpersist()
 
 t0 = time.time()
 res_fix = canonicalize(spark, corpus, route="fixpoint")
@@ -64,6 +73,8 @@ out["fixpoint_phases"] = {
     for k in ("t_prep_s", "t_loop_s", "t_leaf_kernel_s",
               "t_comp_mux_s", "t_mux_s")}
 out["fixpoint_iterations"] = res_fix.metrics["colour_iterations"]
+res_fix.unpersist()
+out["storage_mb_after_release"] = storage_mb()
 
 # deep class at 10x: 40k chains x diameter 26 -> 13 rounds, 1.04M triples
 n_chains = 40_000
@@ -91,6 +102,7 @@ out["deep_round_s"] = [e["t_round_s"]
 out["deep_round_stages"] = sorted({e.get("n_stages")
                                    for e in
                                    res_deep.metrics["iterations_log"]})
+res_deep.unpersist()
 
 # metamorphic route-parity spot check on a corpus sample (cli `test`
 # machinery): 20 graphs x 4 variants through BOTH engine routes
