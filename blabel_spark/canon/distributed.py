@@ -34,6 +34,7 @@ component diameter, not corpus size.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from itertools import count as _itercount
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -53,6 +54,9 @@ from blabel_spark.pair_kernels import (
 )
 
 TRIPLE_COLS = ("graph_id", "subj", "pred", "obj")
+
+# per-call sequence for fixpoint job-group names (see the loop)
+_FIXPOINT_SEQ = _itercount()
 
 
 def is_bnode_col(c):
@@ -785,6 +789,12 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # north_rule line, at fixpoint granularity)
     iter_log: list[dict] = []
     _sc = spark.sparkContext
+    # per-CALL nonce in the job-group name: statusTracker matches groups
+    # by string over the whole application, so a bare "it{N}" collides
+    # with every earlier canonicalize in the session and inflates the
+    # recorded job/stage counts for early rounds (prior runs all have a
+    # round N, fewer reach round N+5 — the decaying-counts signature)
+    _run_tag = next(_FIXPOINT_SEQ)
     while True:
         it += 1
         _it_t0 = _time.time()
@@ -794,7 +804,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         # stage counts, which MUST stay flat across rounds — growth is the
         # lazy-checkpoint lineage bug (see _lazy_checkpoint_ok), and the
         # regression test pins exactly this invariant.
-        _grp = f"blabel-fixpoint-it{it}"
+        _grp = f"blabel-fixpoint-r{_run_tag}-it{it}"
         _prev_grp = _sc.getLocalProperty("spark.jobGroup.id")
         _sc.setJobGroup(_grp, "colour-refinement round")
         sm = static_msgs if active is None else \
