@@ -327,7 +327,6 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
     # count is the n_bnodes metric AND the broadcast decision for the
     # decoration join below, which otherwise exchanges the whole btri set
     n_bnodes = comp.count()
-    anchor = F.when(is_bnode_col("subj"), F.col("subj")).otherwise(F.col("obj"))
     p0, p1 = tp(F.col("pred"))
     s0, s1 = tp(F.col("subj"))
     o0, o1 = tp(F.col("obj"))
@@ -352,12 +351,21 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
     comp_broadcasts = n_bnodes <= broadcast_rows
     if comp_broadcasts and btri.rdd.getNumPartitions() < parts:
         btri = btri.repartition(parts)
+    # decoration join on the INTERNED anchor key, not the (graph_id,
+    # anchor-string) pair: in the non-broadcast regime this join exchanges
+    # and compares the full btri set, and hashing/sorting two fixed-width
+    # longs is far cheaper than N3 strings (sf1 measured the string-keyed
+    # variant as the single largest prep job).  The anchor of a row is its
+    # subject when blank, else its (then necessarily blank) object, so the
+    # key reuses the k_s/k_o interning exprs computed for btri anyway.
+    ca0, ca1 = _ikey("graph_id", "bnode")
+    comp_keyed = comp.select(ca0.alias("_a0"), ca1.alias("_a1"), "comp")
+    ak0 = F.when(is_bnode_col("subj"), k_s0).otherwise(k_o0)
+    ak1 = F.when(is_bnode_col("subj"), k_s1).otherwise(k_o1)
     btri = (
-        btri.withColumn("_anchor", anchor)
-        .join(_mb(comp.withColumnRenamed("bnode", "_anchor"),
-                  n_bnodes, broadcast_rows),
-              ["graph_id", "_anchor"])
-        .drop("_anchor")
+        btri.withColumn("_a0", ak0).withColumn("_a1", ak1)
+        .join(_mb(comp_keyed, n_bnodes, broadcast_rows), ["_a0", "_a1"])
+        .drop("_a0", "_a1")
         .withColumn("ck0", c0).withColumn("ck1", c1)
         .withColumn("p0", p0).withColumn("p1", p1)
         .withColumn("ss0", F.when(~is_bnode_col("subj"), s0))

@@ -44,6 +44,11 @@ corpus = (base.select(
     .select(F.concat(F.lit("r"), F.col("r").cast("string"), F.lit("_"),
                      "graph_id").alias("graph_id"),
             "subj", "pred", "obj")
+    # a real 100 TB scan arrives with thousands of input splits; the 10x
+    # explode of a 6-partition sf0.1 scan does not — spread the derived
+    # corpus across the cores once so prep's pre-shuffle passes (probe,
+    # CC map side) run at core-count parallelism, as they would at scale
+    .repartition(cpus)
     .localCheckpoint(True))
 n = corpus.count()
 out["n_triples"] = n
