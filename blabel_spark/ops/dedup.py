@@ -308,3 +308,34 @@ def embedding_candidate_pairs(emb: DataFrame, n_bits: int = 16,
     return (left.join(right, ["table_id", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+
+
+def select_keepers(clusters: DataFrame, scores: DataFrame) -> DataFrame:
+    """Quality-aware keeper selection — the step after ``dedup_clusters``
+    in a real pipeline: instead of keeping the minimum doc id, keep the
+    BEST-scoring member of every near-dup cluster (tie-break min doc id,
+    so the choice is total and deterministic).
+
+    ``clusters``: (doc_id, keeper_doc_id) as produced by
+    ``dedup_clusters`` — the CC keeper is reused as the cluster id.
+    ``scores``: (doc_id, quality) — any deterministic score, e.g.
+    ``ops.textstats.quality_score``.
+
+    Scale shape: the member table is pair-graph-sized (docs that matched
+    at least once, ≪ corpus); the score attach is an equi-join on doc_id
+    and the argmax is one per-cluster window over members only — no
+    corpus-scale shuffle, clusters are shallow by construction.
+
+    Returns (doc_id, cluster_id, keeper_doc_id, keep).
+    """
+    from pyspark.sql import Window
+    members = clusters.select(
+        "doc_id", F.col("keeper_doc_id").alias("cluster_id"))
+    m = members.join(scores.select("doc_id", "quality"), "doc_id")
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.desc("quality"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (m.withColumn("keeper_doc_id", F.first("doc_id").over(w))
+            .select("doc_id", "cluster_id", "keeper_doc_id",
+                    (F.col("doc_id") == F.col("keeper_doc_id"))
+                    .alias("keep")))

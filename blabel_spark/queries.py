@@ -1281,6 +1281,89 @@ FROM embeddings GROUP BY 1
 SQL_BUCKET_STATS = _sql_bucket_stats()
 
 
+def q_dedup_keepers(spark, sf):
+    """Quality-aware keeper per near-dup cluster: the same transitive
+    cluster construction as q_dedup_clusters, then the keeper is the
+    BEST-quality member (tie-break min doc id) instead of the min id —
+    what a production dedup actually keeps.  Exercises dedup_clusters →
+    quality_score → select_keepers composed end-to-end."""
+    from blabel_spark.ops.dedup import (dedup_clusters, select_keepers,
+                                        simhash16)
+    from blabel_spark.ops.textstats import quality_score
+    docs = load(spark, sf, "documents")
+    sh = simhash16(docs).withColumn("g", F.pmod(F.col("simhash"),
+                                                F.lit(256)))
+    w = Window.partitionBy("g").orderBy("doc_id")
+    pairs = (sh.withColumn("prev", F.lag("doc_id").over(w))
+             .where(F.col("prev").isNotNull())
+             .select(F.col("prev").alias("doc_a"),
+                     F.col("doc_id").alias("doc_b")))
+    return select_keepers(dedup_clusters(pairs), quality_score(docs))
+
+
+def _sql_dedup_keepers() -> str:
+    """Twin: bucket == cluster (the chain construction), cluster id =
+    bucket min (the CC keeper), keeper = argmax quality via the same
+    deterministic (quality DESC, doc_id ASC) order."""
+    sh = _sql_simhash().strip()
+    quality = _sql_quality().strip()
+    return f"""
+WITH sh AS ({sh}),
+b AS (SELECT doc_id, simhash % 256 AS g FROM sh),
+grp AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY g) AS cluster_id,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM b),
+mem AS (SELECT doc_id, cluster_id FROM grp WHERE n >= 2),
+q AS ({quality}),
+scored AS (
+  SELECT mem.doc_id, mem.cluster_id, q.quality
+  FROM mem JOIN q ON mem.doc_id = q.doc_id),
+k AS (
+  SELECT doc_id, cluster_id,
+         first_value(doc_id) OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS keeper_doc_id
+  FROM scored)
+SELECT doc_id, cluster_id, keeper_doc_id,
+       doc_id = keeper_doc_id AS keep
+FROM k
+"""
+
+
+SQL_DEDUP_KEEPERS = _sql_dedup_keepers()
+
+# gate operating point for the deterministic per-source sampler: one
+# stratum at rate 1.0 (exercises the exact keep-all bypass), two partial
+# strata, a default for the long tail of sources
+SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 1.0}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-source subsample (corpus mixing): md5-keyed
+    keep decision, map-only, reproducible across engines / runs /
+    cluster sizes — the DuckDB twin runs the identical arithmetic and
+    must select the exact same rows."""
+    from blabel_spark.ops.sampling import stratified_sample
+    docs = load(spark, sf, "documents")
+    return (stratified_sample(docs, SAMPLE_RATES,
+                              default_rate=SAMPLE_DEFAULT)
+            .select("doc_id", "source"))
+
+
+def _sql_stratified_sample() -> str:
+    from blabel_spark.ops.sampling import stratified_sample_sql
+    pred = stratified_sample_sql(SAMPLE_RATES, default_rate=SAMPLE_DEFAULT)
+    return f"SELECT doc_id, source FROM documents WHERE {pred}"
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1337,6 +1420,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_multitable": q_ann_multitable,
     "ann_batch": q_ann_batch,
     "lsh_bucket_stats": q_lsh_bucket_stats,
+    "dedup_keepers": q_dedup_keepers,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1386,4 +1471,6 @@ ORACLES: dict[str, str] = {
     "ann_multitable": SQL_ANN_MULTITABLE,
     "ann_batch": SQL_ANN_BATCH,
     "lsh_bucket_stats": SQL_BUCKET_STATS,
+    "dedup_keepers": SQL_DEDUP_KEEPERS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
