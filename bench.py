@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "lang_id",
     "knn_brute_force",
     "lsh_bucket_stats",
+    "dedup_keepers",
+    "stratified_sample",
 ]
 
 
