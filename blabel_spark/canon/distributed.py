@@ -191,7 +191,8 @@ def _cc_kernel(btri: DataFrame) -> DataFrame:
 
 
 def bnode_components(btri: DataFrame, max_iter: int = 64,
-                     max_kernel_graph: int = 2_000_000) -> DataFrame:
+                     max_kernel_graph: int = 2_000_000,
+                     graph_rows_bound: int | None = None) -> DataFrame:
     """(graph_id, bnode) → comp for every bnode in btri.
 
     Routing: when every graph fits one task (≤ ``max_kernel_graph``
@@ -203,8 +204,17 @@ def bnode_components(btri: DataFrame, max_iter: int = 64,
     — a 2^64-diameter chain would be needed to hit ``max_iter``, and
     hitting it raises instead of silently returning a split partition
     (components split across fake pivots would give conflicting canonical
-    labels downstream)."""
+    labels downstream).
+
+    ``graph_rows_bound``: a caller-known UPPER bound on per-graph rows
+    (canonicalize's routing probe already computes one) — when it is
+    under ``max_kernel_graph`` the kernel route is taken without the
+    probe aggregation here (one fewer corpus-wide job); otherwise the
+    exact btri-row probe still decides."""
     if max_kernel_graph:
+        if graph_rows_bound is not None and \
+                graph_rows_bound <= max_kernel_graph:
+            return _cc_kernel(btri)
         biggest = (btri.groupBy("graph_id").agg(F.count("*").alias("n"))
                    .agg(F.max("n").alias("m")).collect()[0]["m"]) or 0
         if biggest <= max_kernel_graph:
@@ -308,7 +318,8 @@ def _ikey(*cols) -> tuple:
 
 
 def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
-                           broadcast_rows: int = 0
+                           broadcast_rows: int = 0,
+                           graph_rows_bound: int | None = None
                            ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Split into (bnode-touching triples with comp, static hash pairs and
     interned key columns, ground triples, bnode→comp table, n_bnodes).
@@ -322,7 +333,7 @@ def _prepare_bnode_triples(triples: DataFrame, tp=md5_pair,
     ground = tri.where(~has_b)
     btri = tri.where(has_b)
 
-    comp = bnode_components(btri)
+    comp = bnode_components(btri, graph_rows_bound=graph_rows_bound)
     # the bnode→comp table has one row per blank node (≪ triples): its
     # count is the n_bnodes metric AND the broadcast decision for the
     # decoration join below, which otherwise exchanges the whole btri set
@@ -697,7 +708,7 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
     # is dropDuplicates'd
     triples = triples.select(*TRIPLE_COLS)
     btri, ground, node_comp, n_bnodes = _prepare_bnode_triples(
-        triples, tp, broadcast_rows)
+        triples, tp, broadcast_rows, graph_rows_bound=biggest)
     btri = btri.localCheckpoint(True)
     # checkpoint-block bookkeeping: handles whose blocks back the FINAL
     # result (released only by CanonResult.unpersist) vs loop-era state

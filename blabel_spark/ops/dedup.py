@@ -83,12 +83,18 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, k: int = 5,
     sig = signatures if signatures is not None \
         else minhash_signatures(docs, n_hashes, k, unit=unit)
     # one posexplode pass — a union of per-band selects would re-evaluate
-    # the signature plan once per band
+    # the signature plan once per band.  The band table is materialized
+    # once before the self-join: signature hashing dominates the cost and
+    # a broadcast (or stats-free) self-join would otherwise evaluate the
+    # whole shingle+md5 plan on BOTH sides (the round-6 before-plan showed
+    # two full signature subtrees).  The table is (doc_id, band_id,
+    # band_key) — n_hashes rows per doc, far narrower than the corpus.
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(
             *[F.substring(F.col(f"h{s}"), 1, band_chars)
-              for s in range(n_hashes)])).alias("band_id", "band_key"))
+              for s in range(n_hashes)])).alias("band_id", "band_key")) \
+        .localCheckpoint(True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -274,8 +274,12 @@ def q_trivial_nonlean(spark, sf):
     join fans out by min-edge frequency (≈1-2 partners) instead of
     exploding O(k²) on popular hub edges like a full edge self-join; the
     exact containment count then runs only over surviving (x, y) pairs.
-    The oracle SQL keeps the direct all-pairs spec — same result set."""
-    t = build_triples(spark, sf).dropDuplicates()
+    The oracle SQL keeps the direct all-pairs spec — same result set.
+
+    The input is NOT pre-deduplicated: a duplicate triple is exactly a
+    duplicate edge row, so the edge-level ``distinct()`` below subsumes
+    triple dedup — one fewer corpus-wide exchange of the raw strings."""
+    t = build_triples(spark, sf)
     # edge identity (direction, pred, other-end) interned as a 128-bit
     # xxhash64 pair scoped by graph — every join/groupBy below moves
     # fixed-width longs instead of the concatenated edge strings (the
@@ -290,25 +294,29 @@ def q_trivial_nonlean(spark, sf):
     edges = (side("subj", "+|", "obj")
              .union(side("obj", "-|", "subj"))
              .distinct()).localCheckpoint(True)
-    cnt = edges.groupBy("graph_id", "node").agg(F.count("*").alias("n"))
     bedges = edges.where(F.col("node").startswith("_:"))
     # per-edge frequency → each bnode's rarest edge (deterministic
     # (f, e-key) tie-break; completeness is preserved for EVERY
-    # probe-edge choice, so the tie-break only pins the plan)
+    # probe-edge choice, so the tie-break only pins the plan).  The same
+    # aggregation also emits the bnode's distinct-edge count n_x (freq
+    # rows are unique per (e0, e1), so the join is 1:1 and the group's
+    # row count IS the edge count) — no separate per-node count pass.
     freq = edges.groupBy("e0", "e1").agg(F.count("*").alias("f"))
     rare = (
         bedges.join(freq, ["e0", "e1"])
         .groupBy("graph_id", "node")
         .agg(F.min_by(F.struct("e0", "e1"),
-                      F.struct("f", "e0", "e1")).alias("ek"))
+                      F.struct("f", "e0", "e1")).alias("ek"),
+             F.count("*").alias("n_x"))
         .select("graph_id", F.col("node").alias("x"),
-                F.col("ek.e0").alias("e0"), F.col("ek.e1").alias("e1"))
+                F.col("ek.e0").alias("e0"), F.col("ek.e1").alias("e1"),
+                "n_x")
     )
     cand = (
         rare.join(edges.select(F.col("node").alias("y"), "e0", "e1"),
                   ["e0", "e1"])
         .where(F.col("x") != F.col("y"))
-        .select("graph_id", "x", "y")
+        .select("graph_id", "x", "y", "n_x")
     )
     # containment verify on surviving pairs only: every edge of x must be
     # an edge of y
@@ -317,12 +325,11 @@ def q_trivial_nonlean(spark, sf):
     matched = (
         cand.join(xe, ["graph_id", "x"])
         .join(ye, ["graph_id", "y", "e0", "e1"], "left_semi")
-        .groupBy("graph_id", "x", "y").agg(F.count("*").alias("n_match"))
+        .groupBy("graph_id", "x", "y", "n_x")
+        .agg(F.count("*").alias("n_match"))
     )
-    cx = cnt.select("graph_id", F.col("node").alias("x"),
-                    F.col("n").alias("n_x"))
     dominated = (
-        matched.join(cx, ["graph_id", "x"])
+        matched
         .where(F.col("n_match") == F.col("n_x"))
         .select("graph_id", F.col("x").alias("bnode"))
         .distinct()

@@ -49,6 +49,14 @@ def get_spark(app: str = "blabel-spark", cpus: int | None = None,
                 "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # joins: let the planner pick shuffled-hash over sort-merge when a
+        # side fits a per-partition hash map (guide §3.1/§9) — removes the
+        # two sorts from every mid-size equi-join; the AQE local-map
+        # threshold bounds the runtime SMJ→SHJ rewrite so a mis-estimated
+        # build side cannot OOM a task (per-partition cap, scale-safe)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"))
         # the fixpoint loop marks BOTH its per-round tables (colours +
         # convergence) for LAZY local checkpointing and materializes them
         # with ONE action; RDD.doCheckpoint stops at the first marked
