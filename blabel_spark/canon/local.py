@@ -73,11 +73,23 @@ def graph_sort_key(graph: tuple[Triple, ...]) -> tuple:
 
 def label_triples(triples: list[Triple], colors: dict[str, bytes]) -> tuple[Triple, ...]:
     """Relabel bnodes as SK00<hex> and return the sorted distinct graph
-    (GraphColouring.labelBlankNodes, GraphColouring.java:433-451)."""
+    (GraphColouring.labelBlankNodes, GraphColouring.java:433-451).
+
+    ``colors`` holds exactly the blank nodes, so membership replaces the
+    per-term prefix test; rendered labels are memoized per colour (one
+    .hex() + concat per distinct bnode instead of per occurrence)."""
+    rendered: dict[str, str] = {}
+    pfx = "_:" + BNODE_LABEL_PREFIX
     out = set()
     for s, p, o in triples:
-        ns = "_:" + BNODE_LABEL_PREFIX + colors[s].hex() if is_bnode(s) else s
-        no = "_:" + BNODE_LABEL_PREFIX + colors[o].hex() if is_bnode(o) else o
+        ns = rendered.get(s)
+        if ns is None:
+            cs = colors.get(s)
+            rendered[s] = ns = s if cs is None else pfx + cs.hex()
+        no = rendered.get(o)
+        if no is None:
+            co = colors.get(o)
+            rendered[o] = no = o if co is None else pfx + co.hex()
         out.add((ns, p, no))
     return tuple(sorted(out))
 
@@ -135,36 +147,84 @@ class _Colouring:
     # ordered refinement: list of sorted node tuples (RefinablePartition)
     rfp: list[tuple[str, ...]] = field(default_factory=list)
     part: dict[bytes, frozenset[str]] = field(default_factory=dict)
+    # per-component edge structure, built once and shared with every
+    # branch child (triples are identical down the search tree):
+    # (receivers, static messages precombined — they are constant across
+    # rounds AND branches — and dynamic bnode→bnode edges with the
+    # pred/marker hashes pre-folded to ints for the C-speed combine)
+    edge_plan: tuple | None = None
 
     # -- colour refinement to fixpoint (GraphColouring.runColouring) --------
 
+    def _build_edge_plan(self) -> tuple:
+        """One pass over the component's triples: per receiver, the list
+        of CONSTANT (ground-other) messages precombined, and the dynamic
+        (bnode-other) edges as (other, h(pred) int, marker int).  Message
+        values are bit-identical to the per-round recomputation this
+        replaces (GraphColouring.java:505-534 semantics unchanged)."""
+        from blabel_spark.hashing import _MUL37  # noqa: F401 (used below)
+        static = self.static
+        plus, minus = self.hf.plus, self.hf.minus
+        plus_i, minus_i = (int.from_bytes(plus, "big"),
+                           int.from_bytes(minus, "big"))
+        smsgs: dict[str, list[bytes]] = {}
+        dedges: dict[str, list[tuple[str, bytes, int]]] = {}
+        for s, p, o in self.triples:
+            hp = static[p]
+            sb, ob = is_bnode(s), is_bnode(o)
+            if sb:
+                if ob:
+                    dedges.setdefault(s, []).append((o, hp, plus_i))
+                else:
+                    smsgs.setdefault(s, []).append(
+                        combine_ordered((static[o], hp, plus)))
+            if ob:
+                if sb:
+                    dedges.setdefault(o, []).append((s, hp, minus_i))
+                else:
+                    smsgs.setdefault(o, []).append(
+                        combine_ordered((static[s], hp, minus)))
+        receivers = list(smsgs | dedges)
+        return (receivers,
+                {k: tuple(v) for k, v in smsgs.items()},
+                {k: tuple(v) for k, v in dedges.items()})
+
     def run_colouring(self) -> int:
+        from blabel_spark.hashing import _MUL37
+        if self.edge_plan is None:
+            self.edge_plan = self._build_edge_plan()
+        receivers, smsgs, dedges = self.edge_plan
+        n_bytes = self.hf.n_bytes
         self.rfp = [tuple(sorted(self.colors))]
         part = _invert(self.colors)
         r = 0
         while True:
             r += 1
-            # J1: edge messages.  Subject bnode gets (h(obj), h(pred), PLUS);
-            # object bnode gets (h(subj), h(pred), MINUS)
-            # (GraphColouring.java:505-534 with plusMinus/subjObj tables).
-            edge_hashes: dict[str, list[bytes]] = {}
-            for s, p, o in self.triples:
-                hp = self.static[p]
-                if is_bnode(s):
-                    other = self.colors[o] if is_bnode(o) else self.static[o]
-                    edge_hashes.setdefault(s, []).append(
-                        combine_ordered((other, hp, self.hf.plus)))
-                if is_bnode(o):
-                    other = self.colors[s] if is_bnode(s) else self.static[s]
-                    edge_hashes.setdefault(o, []).append(
-                        combine_ordered((other, hp, self.hf.minus)))
-
-            # A1: per-bnode aggregation — append own previous colour, sort
-            # (hex order == bytes order), combineOrdered-fold
-            # (GraphColouring.java:542-548).
+            # J1+A1: per receiver, dynamic messages combineOrdered(h(other),
+            # h(pred), marker) recomputed from the current colours, constant
+            # messages appended precombined, own previous colour appended,
+            # sort (hex order == bytes order), combineOrdered-fold
+            # (GraphColouring.java:505-548).
+            colors = self.colors
             next_hashes: dict[str, bytes] = {}
-            for n, msgs in edge_hashes.items():
-                msgs.append(self.colors[n])
+            for n in receivers:
+                d = dedges.get(n)
+                if d:
+                    msgs = []
+                    for onode, hp, mk_i in d:
+                        t = int.from_bytes(
+                            colors[onode].translate(_MUL37), "big") \
+                            ^ int.from_bytes(hp, "big")
+                        t = int.from_bytes(
+                            t.to_bytes(n_bytes, "big").translate(_MUL37),
+                            "big") ^ mk_i
+                        msgs.append(t.to_bytes(n_bytes, "big"))
+                    sm = smsgs.get(n)
+                    if sm:
+                        msgs.extend(sm)
+                else:
+                    msgs = list(smsgs[n])
+                msgs.append(colors[n])
                 msgs.sort()
                 next_hashes[n] = combine_ordered(msgs)
 
@@ -270,7 +330,8 @@ class _Colouring:
                     colors=branch_colors, path=self.path + [n],
                     leaves=self.leaves, colour_iters=self.colour_iters,
                     prune=self.prune, hf=self.hf,
-                    leaf_budget=self.leaf_budget)
+                    leaf_budget=self.leaf_budget,
+                    edge_plan=self.edge_plan)
                 child.execute()
                 visited.append(n)
             break  # only the first non-trivial class (GraphColouring.java:250)

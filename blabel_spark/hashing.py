@@ -188,33 +188,61 @@ PLUS: bytes = hash_unencoded_chars("+")    # marks a subject-position bnode
 MINUS: bytes = hash_unencoded_chars("-")   # marks an object-position bnode
 
 
+# C-speed per-byte fold machinery (bit-exact with the per-byte loops the
+# round-1..5 implementations used; parity-pinned in tests/test_hashing.py):
+#
+# * ×37 mod 256 is a byte-wise table lookup → ``bytes.translate`` (C);
+# * XOR has no inter-byte carries → whole-digest int XOR (C);
+# * per-byte addition mod 256 via the SWAR trick: suppress carries out of
+#   bit 7 with masks, recover the top bit with XOR — also whole-int ops.
+_MUL37 = bytes(((x * 37) & 0xFF) for x in range(256))
+_SWAR_MASKS: dict[int, tuple[int, int]] = {}
+
+
+def _swar_masks(n: int) -> tuple[int, int]:
+    m = _SWAR_MASKS.get(n)
+    if m is None:
+        m = (int.from_bytes(b"\x7f" * n, "big"),
+             int.from_bytes(b"\x80" * n, "big"))
+        _SWAR_MASKS[n] = m
+    return m
+
+
 def combine_ordered(hashes: Iterable[bytes]) -> bytes:
     """Order-sensitive per-byte fold: r[i] = (r[i]*37) ^ h[i].
     Length-generic — the fold width follows the input digests (Guava
     combineOrdered works for any HashCode bit width)."""
     r = None
+    n = 0
     for h in hashes:
         if r is None:
-            r = bytearray(len(h))
-        for i in range(len(r)):
-            r[i] = ((r[i] * 37) ^ h[i]) & 0xFF
+            n = len(h)
+            r = int.from_bytes(h, "big")  # (0*37) ^ h == h
+            continue
+        r = int.from_bytes(
+            r.to_bytes(n, "big").translate(_MUL37), "big") \
+            ^ int.from_bytes(h, "big")
     if r is None:
         raise ValueError("combine_ordered needs at least one hash")
-    return bytes(r)
+    return r.to_bytes(n, "big")
 
 
 def combine_unordered(hashes: Iterable[bytes]) -> bytes:
     """Order-insensitive per-byte fold: r[i] = (r[i] + h[i]) mod 256.
     Length-generic like combine_ordered."""
     r = None
+    n = 0
     for h in hashes:
         if r is None:
-            r = bytearray(len(h))
-        for i in range(len(r)):
-            r[i] = (r[i] + h[i]) & 0xFF
+            n = len(h)
+            L, H = _swar_masks(n)
+            r = int.from_bytes(h, "big")  # 0 + h == h
+            continue
+        b = int.from_bytes(h, "big")
+        r = ((r & L) + (b & L)) ^ ((r ^ b) & H)
     if r is None:
         raise ValueError("combine_unordered needs at least one hash")
-    return bytes(r)
+    return r.to_bytes(n, "big")
 
 
 def to_hex(h: bytes) -> str:
