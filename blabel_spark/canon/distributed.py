@@ -418,18 +418,6 @@ def _edge_views(btri: DataFrame, plus_pair=None,
         .union(side("obj", "ko", "ks", "ss", minus_pair))
 
 
-def _split_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(static message rows, bnode→bnode edge rows) as lazy views over the
-    deduplicated edge table — the static combine3 is whole-stage codegen,
-    so recomputing it per scan costs nothing vs a second materialized
-    table."""
-    m0, m1 = combine3_pairs_sql("ot0", "ot1", "p0", "p1", "mk0", "mk1")
-    static_msgs = edges.where(F.col("ot0").isNotNull()).select(
-        "ck0", "ck1", "bk0", "bk1", m0.alias("m0"), m1.alias("m1"))
-    bb_edges = edges.where(F.col("ot0").isNull()).drop("ot0", "ot1")
-    return static_msgs, bb_edges
-
-
 def _iteration_messages(static_msgs: DataFrame, bb_edges: DataFrame,
                         lab: DataFrame, lab_rows: int | None = None,
                         broadcast_rows: int = 0) -> DataFrame:
@@ -726,23 +714,35 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         ckpt = FixpointCheckpoint(spark, checkpoint_dir)
         restored = ckpt.restore()
 
-    # set semantics for the message workload: ONE deduplicated edge table
-    # (one exchange over a narrow all-long table, materialized once); the
-    # static/dynamic split stays lazy codegen over it
-    edges = _edge_views(btri, plus_pair, minus_pair) \
-        .dropDuplicates().localCheckpoint(True)
+    # set semantics for the message workload: the edge views dedupe per
+    # side (a static row can never equal a bnode→bnode row — the ot/ok
+    # nullability differs — so per-side dedup == dedup of the union) and
+    # each side materializes ONCE in its loop shape:
+    # * static messages are pre-combined to (ck, bk, m) — their value is
+    #   constant across rounds, and materializing the combine here keeps
+    #   the ~200-node combine3 lane tree OUT of every round's plan
+    #   analysis and map stage (round 5 recomputed it per round);
+    # * bnode→bnode edges are pre-partitioned on the colour lookup key:
+    #   when the colour table outgrows broadcast_rows, each round's
+    #   shuffle-hash join then exchanges only the (per-bnode, shrinking)
+    #   colour table — never this (triple-scale) side.
+    edges_raw = _edge_views(btri, plus_pair, minus_pair)
+    sm0, sm1 = combine3_pairs_sql("ot0", "ot1", "p0", "p1", "mk0", "mk1")
+    static_msgs = (
+        edges_raw.where(F.col("ot0").isNotNull())
+        .drop("ok0", "ok1").dropDuplicates()
+        .select("ck0", "ck1", "bk0", "bk1",
+                sm0.alias("m0"), sm1.alias("m1"))
+    ).localCheckpoint(True)
+    bb_edges = (
+        edges_raw.where(F.col("ot0").isNull())
+        .drop("ot0", "ot1").dropDuplicates()
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                     "ok0", "ok1")
+    ).localCheckpoint(True)
     # loop-era checkpoints: dead once `leaf` (their last consumer)
     # materializes
-    loop_handles = [_ckpt_rdd(edges)]
-    static_msgs, bb_edges = _split_edges(edges)
-    # materialize the bnode→bnode edge table pre-partitioned on the colour
-    # lookup key: when the colour table outgrows broadcast_rows, each
-    # round's shuffle-hash join then exchanges only the (per-bnode,
-    # shrinking) colour table — never this (triple-scale) side
-    bb_edges = bb_edges.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        "ok0", "ok1").localCheckpoint(True)
-    loop_handles.append(_ckpt_rdd(bb_edges))
+    loop_handles = [_ckpt_rdd(static_msgs), _ckpt_rdd(bb_edges)]
 
     if salt_buckets == "auto":
         # hub probe: a bnode's per-round fold size == its message count,
@@ -757,7 +757,9 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
             salt_buckets = 0
             metrics["max_bnode_degree_bound"] = 2 * biggest
         else:
-            deg = (edges.groupBy("bk0", "bk1")
+            deg = (static_msgs.select("bk0", "bk1")
+                   .union(bb_edges.select("bk0", "bk1"))
+                   .groupBy("bk0", "bk1")
                    .agg(F.count("*").alias("n"))
                    .agg(F.max("n").alias("m")).collect()[0]["m"]) or 0
             metrics["max_bnode_degree"] = int(deg)
@@ -869,11 +871,23 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         newc = (pair_cnt.groupBy(*CK, "h0", "h1")
                 .agg(F.sum("npair").alias("nb_h"),
                      F.count("*").alias("n_old")))
+        # the previous round's class count rides the SAME aggregation as
+        # tagged union rows instead of a per-round broadcast join: every
+        # active component contributes exactly one prev row (conv_prev is
+        # derived from the previous conv, or the round-1 seed), so
+        # max(prev_nc) recovers it and count(nb_h) still counts only the
+        # real colour-class rows — one fewer broadcast build per round,
+        # same status arithmetic.
+        nul = F.lit(None).cast("long")
         conv = (
-            newc.groupBy(*CK)
-            .agg(F.count("*").alias("nc"), F.sum("nb_h").alias("nb"),
-                 F.sum("n_old").alias("ncross"))
-            .join(_mb(conv_prev, n_act, broadcast_rows), CK)
+            newc.select(*CK, "nb_h", "n_old", nul.alias("prev_nc"))
+            .union(conv_prev.select(
+                *CK, nul.alias("nb_h"), nul.alias("n_old"),
+                F.col("prev_nc").cast("long")))
+            .groupBy(*CK)
+            .agg(F.count("nb_h").alias("nc"), F.sum("nb_h").alias("nb"),
+                 F.sum("n_old").alias("ncross"),
+                 F.max("prev_nc").alias("prev_nc"))
             .withColumn("status",
                         F.when(F.col("ncross") != F.col("nc"), "stalled")
                         .when(F.col("nc") == F.col("nb"), "discrete")
