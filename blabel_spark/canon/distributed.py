@@ -77,41 +77,11 @@ def _mb(df: DataFrame, n_rows: int | None, limit: int) -> DataFrame:
     return df
 
 
-def _ckpt_rdd(df: DataFrame):
-    """JVM handle of the RDD backing a local-checkpointed DataFrame (its
-    analyzed plan is a ``LogicalRDD``); None for any other plan.  Used to
-    release checkpoint blocks the instant their last consumer has
-    materialized — a long fixpoint otherwise retains O(rounds)
-    corpus-scale tables in the block manager for the life of the session
-    (the ContextCleaner only frees them after a driver full-GC, which a
-    large heap may not run for hours)."""
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        # a checkpointed df wrapped in narrow projections (e.g. a .drop)
-        # still rides the same blocks — descend to the scan, but only
-        # through nodes that cannot hide a DIFFERENT checkpoint
-        while (plan.getClass().getSimpleName() in ("Project", "Filter")
-               and plan.children().size() == 1):
-            plan = plan.children().apply(0)
-        if plan.getClass().getSimpleName() != "LogicalRDD":
-            return None
-        return plan.rdd()
-    except Exception:  # pragma: no cover — py4j surface drift
-        return None
-
-
-def _release(handles) -> None:
-    """Non-blocking unpersist of tracked checkpoint RDD handles.  Only
-    sound once every downstream consumer of the blocks has materialized
-    (checkpoint lineage is truncated — a late consumer could not
-    recompute them)."""
-    for h in handles:
-        if h is None:
-            continue
-        try:
-            h.unpersist(False)
-        except Exception:  # pragma: no cover — context already stopped
-            pass
+# checkpoint-release helpers live in blabel_spark.ckpt_util (shared with
+# ops.dedup's cluster loop — ADVICE r5); the private aliases remain the
+# names this module's call sites and tests use
+from blabel_spark.ckpt_util import ckpt_rdd as _ckpt_rdd  # noqa: E402
+from blabel_spark.ckpt_util import release as _release  # noqa: E402
 
 
 @dataclass
@@ -253,44 +223,50 @@ def bnode_components(btri: DataFrame, max_iter: int = 64,
     # blocks immediately so the loop retains O(1) tables, not O(rounds)
     prev_h = _ckpt_rdd(comp)
     pk0, pk1 = _ikey("graph_id", "comp")
-    for _ in range(max_iter):
-        # pointer doubling fused into the propagation join: besides the
-        # real (symmetric) edges, every node contributes a virtual edge
-        # comp(b) → b, so the min-aggregation sees comp(comp(b)) in the
-        # SAME join — one shuffle per round, O(log diameter) rounds
-        pointer = comp.select(pk0.alias("a0"), pk1.alias("a1"),
-                              F.col("k0").alias("b0"),
-                              F.col("k1").alias("b1"))
-        compr = comp.select(F.col("k0").alias("n0"), F.col("k1").alias("n1"),
-                            F.col("comp").alias("nbr_comp"))
-        nbrs = sym.union(pointer)
-        nbr_min = (
-            nbrs.join(compr, on=[nbrs.a0 == compr.n0, nbrs.a1 == compr.n1])
-            .groupBy("b0", "b1")
-            .agg(F.min("nbr_comp").alias("nbr_comp"))
-        )
-        # lazy checkpoint + one action: the changed-count job materializes
-        # the round's state and truncates lineage — one job per round,
-        # not an eager-checkpoint job plus a count job
-        new = (
-            comp.join(nbr_min, on=[comp.k0 == nbr_min.b0,
-                                   comp.k1 == nbr_min.b1], how="left")
-            .select("graph_id", "bnode", "k0", "k1",
-                    F.least("comp", F.coalesce("nbr_comp", "comp"))
-                    .alias("comp"),
-                    (F.col("comp") != F.least(
-                        "comp", F.coalesce("nbr_comp", "comp")))
-                    .alias("changed"))
-        ).localCheckpoint(False)
-        n_changed = new.where("changed").count()
-        _release([prev_h])
-        prev_h = _ckpt_rdd(new)
-        comp = new.drop("changed")
-        if n_changed == 0:
-            # the final comp table stays (it IS the return value); only
-            # the edge table dies with the loop
-            _release([sym_h])
-            return comp.drop("k0", "k1")
+    try:
+        for _ in range(max_iter):
+            # pointer doubling fused into the propagation join: besides the
+            # real (symmetric) edges, every node contributes a virtual edge
+            # comp(b) → b, so the min-aggregation sees comp(comp(b)) in the
+            # SAME join — one shuffle per round, O(log diameter) rounds
+            pointer = comp.select(pk0.alias("a0"), pk1.alias("a1"),
+                                  F.col("k0").alias("b0"),
+                                  F.col("k1").alias("b1"))
+            compr = comp.select(F.col("k0").alias("n0"), F.col("k1").alias("n1"),
+                                F.col("comp").alias("nbr_comp"))
+            nbrs = sym.union(pointer)
+            nbr_min = (
+                nbrs.join(compr, on=[nbrs.a0 == compr.n0, nbrs.a1 == compr.n1])
+                .groupBy("b0", "b1")
+                .agg(F.min("nbr_comp").alias("nbr_comp"))
+            )
+            # lazy checkpoint + one action: the changed-count job materializes
+            # the round's state and truncates lineage — one job per round,
+            # not an eager-checkpoint job plus a count job
+            new = (
+                comp.join(nbr_min, on=[comp.k0 == nbr_min.b0,
+                                       comp.k1 == nbr_min.b1], how="left")
+                .select("graph_id", "bnode", "k0", "k1",
+                        F.least("comp", F.coalesce("nbr_comp", "comp"))
+                        .alias("comp"),
+                        (F.col("comp") != F.least(
+                            "comp", F.coalesce("nbr_comp", "comp")))
+                        .alias("changed"))
+            ).localCheckpoint(False)
+            n_changed = new.where("changed").count()
+            _release([prev_h])
+            prev_h = _ckpt_rdd(new)
+            comp = new.drop("changed")
+            if n_changed == 0:
+                # the final comp table stays (it IS the return value); only
+                # the edge table dies with the loop
+                _release([sym_h])
+                return comp.drop("k0", "k1")
+    except BaseException:
+        # non-convergence (or any mid-loop failure) must not leak the
+        # edge/round checkpoint blocks (ADVICE r5)
+        _release([sym_h, prev_h])
+        raise
     raise RuntimeError(
         f"bnode_components failed to converge in {max_iter} rounds — "
         "input graph pathologically deep or corrupted")
@@ -826,7 +802,12 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
         # lazy-checkpoint lineage bug (see _lazy_checkpoint_ok), and the
         # regression test pins exactly this invariant.
         _grp = f"blabel-fixpoint-r{_run_tag}-it{it}"
-        _prev_grp = _sc.getLocalProperty("spark.jobGroup.id")
+        # setJobGroup clobbers three thread-local properties — snapshot
+        # and restore ALL of them, not just the group id, so a caller's
+        # job description / interruptOnCancel survive the loop (ADVICE r5)
+        _prev_props = {p: _sc.getLocalProperty(p) for p in (
+            "spark.jobGroup.id", "spark.job.description",
+            "spark.job.interruptOnCancel")}
         _sc.setJobGroup(_grp, "colour-refinement round")
         sm = static_msgs if active is None else \
             static_msgs.join(_mb(active, n_act, broadcast_rows),
@@ -900,7 +881,8 @@ def canonicalize(spark: SparkSession, triples: DataFrame, *,
                 .agg(F.count("*").alias("n"),
                      F.sum("nb").alias("b")).collect()
         finally:
-            _sc.setLocalProperty("spark.jobGroup.id", _prev_grp)
+            for _p, _v in _prev_props.items():
+                _sc.setLocalProperty(_p, _v)
         _st = _sc.statusTracker()
         _jids = _st.getJobIdsForGroup(_grp)
         _jinfos = [_st.getJobInfo(j) for j in _jids]

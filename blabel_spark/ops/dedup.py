@@ -229,7 +229,42 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
             .where(F.col("sim") >= threshold))
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
+def _cluster_kernel(edges: DataFrame) -> DataFrame:
+    """Single-task union-find over a (distinct, directed) pair-edge table
+    that fits one task — the same min-pivot semantics as the iterative
+    loop (keeper = minimum member), one Spark job instead of one per
+    propagation round."""
+    import pandas as pd
+    t = edges.schema["a"].dataType.simpleString()
+    schema = f"doc_id {t}, keeper_doc_id {t}"
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # parent the larger root under the smaller so a
+                    # class root IS its minimum member (pivot semantics)
+                    parent[max(ra, rb)] = min(ra, rb)
+        if parent:
+            yield pd.DataFrame({"doc_id": list(parent),
+                                "keeper_doc_id": [find(n) for n in parent]})
+
+    return edges.coalesce(1).mapInPandas(run, schema)
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 32,
+                   kernel_max_pairs: int = 2_000_000) -> DataFrame:
     """Near-duplicate CLUSTERS from pairwise matches: connected
     components over the (doc_a, doc_b) pair graph, each document mapped
     to its cluster keeper (minimum doc id) — the final stage of a dedup
@@ -237,55 +272,69 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
     Pairs may come from any of the pair producers (LSH+Jaccard, SimHash,
     embedding near-dups) or their union.
 
-    Min-label propagation with pointer doubling fused into the
-    propagation join (same shape as canon.distributed.bnode_components):
-    one shuffle per round, O(log cluster-diameter) rounds — at corpus
-    scale near-dup clusters are shallow, and the edge table is the
-    candidate-pair output (≪ C(n,2)), so every round is a join over
-    pairs, never over the corpus.  Raises after ``max_iter`` rounds
-    instead of returning a split cluster.
+    Routing (mirrors canon.distributed.bnode_components): when the
+    distinct pair graph fits one task (≤ ``kernel_max_pairs`` edges — the
+    common case, since candidate budgets keep pairs ≪ corpus), a
+    single-task union-find resolves every cluster in ONE job.  Larger
+    pair graphs take min-label propagation with pointer doubling fused
+    into the propagation join: one shuffle per round,
+    O(log cluster-diameter) rounds, every round a join over pairs —
+    never over the corpus.  Raises after ``max_iter`` rounds instead of
+    returning a split cluster.
 
     Returns (doc_id, keeper_doc_id) for every document that appears in
     at least one pair; docs without a match keep themselves by
     construction and are not emitted.
     """
+    from blabel_spark.ckpt_util import ckpt_rdd as _ckpt_rdd
+    from blabel_spark.ckpt_util import release as _release
     edges = pairs.select(F.col("doc_a").alias("a"),
-                         F.col("doc_b").alias("b")).distinct()
-    sym = edges.union(edges.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b"))) \
+                         F.col("doc_b").alias("b")).distinct() \
         .localCheckpoint(True)
+    edges_h = _ckpt_rdd(edges)
+    if edges.count() <= kernel_max_pairs:
+        return _cluster_kernel(edges)
+    sym = edges.union(edges.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
     comp = (sym.select(F.col("a").alias("doc_id")).distinct()
             .withColumn("comp", F.col("doc_id")).localCheckpoint(True))
     # release each round's superseded checkpoint immediately (same O(1)
     # retained-state discipline as canon.distributed.bnode_components)
-    from blabel_spark.canon.distributed import _ckpt_rdd, _release
-    sym_h = _ckpt_rdd(sym)
     prev_h = _ckpt_rdd(comp)
-    for _ in range(max_iter):
-        pointer = comp.select(F.col("comp").alias("a"),
-                              F.col("doc_id").alias("b"))
-        compr = comp.select(F.col("doc_id").alias("n"),
-                            F.col("comp").alias("nbr_comp"))
-        nbrs = sym.union(pointer)
-        nbr_min = (nbrs.join(compr, on=[nbrs.a == compr.n])
-                   .groupBy("b").agg(F.min("nbr_comp").alias("nbr_comp")))
-        # lazy checkpoint + one action per round (the changed-count job
-        # materializes the state and truncates lineage)
-        new = (comp.join(nbr_min, on=[comp.doc_id == nbr_min.b], how="left")
-               .select("doc_id",
-                       F.least("comp", F.coalesce("nbr_comp", "comp"))
-                       .alias("comp"),
-                       (F.col("comp") != F.least(
-                           "comp", F.coalesce("nbr_comp", "comp")))
-                       .alias("changed"))).localCheckpoint(False)
-        n_changed = new.where("changed").count()
-        _release([prev_h])
-        prev_h = _ckpt_rdd(new)
-        comp = new.drop("changed")
-        if n_changed == 0:
-            _release([sym_h])
-            return comp.select("doc_id",
-                               F.col("comp").alias("keeper_doc_id"))
+    try:
+        for _ in range(max_iter):
+            pointer = comp.select(F.col("comp").alias("a"),
+                                  F.col("doc_id").alias("b"))
+            compr = comp.select(F.col("doc_id").alias("n"),
+                                F.col("comp").alias("nbr_comp"))
+            nbrs = sym.union(pointer)
+            nbr_min = (nbrs.join(compr, on=[nbrs.a == compr.n])
+                       .groupBy("b")
+                       .agg(F.min("nbr_comp").alias("nbr_comp")))
+            # lazy checkpoint + one action per round (the changed-count
+            # job materializes the state and truncates lineage)
+            new = (comp.join(nbr_min, on=[comp.doc_id == nbr_min.b],
+                             how="left")
+                   .select("doc_id",
+                           F.least("comp", F.coalesce("nbr_comp", "comp"))
+                           .alias("comp"),
+                           (F.col("comp") != F.least(
+                               "comp", F.coalesce("nbr_comp", "comp")))
+                           .alias("changed"))).localCheckpoint(False)
+            n_changed = new.where("changed").count()
+            _release([prev_h])
+            prev_h = _ckpt_rdd(new)
+            comp = new.drop("changed")
+            if n_changed == 0:
+                _release([edges_h])
+                return comp.select("doc_id",
+                                   F.col("comp").alias("keeper_doc_id"))
+    except BaseException:
+        # a mid-loop failure must not leak the edge/round checkpoints
+        # (ADVICE r5)
+        _release([edges_h, prev_h])
+        raise
+    _release([edges_h, prev_h])
     raise RuntimeError(
         f"dedup_clusters failed to converge in {max_iter} rounds — "
         "pathologically deep pair graph")
@@ -337,7 +386,12 @@ def select_keepers(clusters: DataFrame, scores: DataFrame) -> DataFrame:
     from pyspark.sql import Window
     members = clusters.select(
         "doc_id", F.col("keeper_doc_id").alias("cluster_id"))
-    m = members.join(scores.select("doc_id", "quality"), "doc_id")
+    # LEFT join (ADVICE r5): a cluster member with no score row must
+    # still appear in the output — its NULL quality sorts last under the
+    # descending order (Spark's default), so it can only become keeper
+    # when the whole cluster is unscored, and then the doc-id tie-break
+    # keeps the choice total and deterministic
+    m = members.join(scores.select("doc_id", "quality"), "doc_id", "left")
     w = (Window.partitionBy("cluster_id")
          .orderBy(F.desc("quality"), F.asc("doc_id"))
          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))

@@ -109,6 +109,32 @@ def test_dedup_clusters_transitive(spark):
                    10: 10, 11: 10}
 
 
+def test_dedup_clusters_kernel_loop_parity(spark):
+    """Round-6 routing: small pair graphs resolve in a single-task
+    union-find kernel; the iterative loop (forced via kernel_max_pairs=0)
+    must produce the identical (doc_id, keeper) set — including on
+    string-typed ids and deep chains that need transitive propagation."""
+    from blabel_spark.ops.dedup import dedup_clusters
+    long_pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)]        # one deep chain
+        + [(100, 103), (103, 101), (101, 107)],  # out-of-order cluster
+        "doc_a long, doc_b long")
+    kern = {(r["doc_id"], r["keeper_doc_id"])
+            for r in dedup_clusters(long_pairs).collect()}
+    loop = {(r["doc_id"], r["keeper_doc_id"])
+            for r in dedup_clusters(long_pairs,
+                                    kernel_max_pairs=0).collect()}
+    assert kern == loop
+    assert all(k == 0 for d, k in kern if d <= 40)
+
+    str_pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string")
+    kern_s = {(r["doc_id"], r["keeper_doc_id"])
+              for r in dedup_clusters(str_pairs).collect()}
+    assert kern_s == {("a", "a"), ("b", "a"), ("c", "a"),
+                      ("x", "x"), ("y", "x")}
+
+
 def test_embedding_near_dups_scale_operating_point(spark):
     """The 16-bit x 12-table default on a 5k-vector corpus: planted
     cosine-0.95 pairs are recovered at the banded-LSH recall the
