@@ -347,17 +347,15 @@ def embedding_candidate_pairs(emb: DataFrame, n_bits: int = 16,
     """Distinct (id_a, id_b) banded sign-LSH candidate pairs — the
     pre-verification stage of embedding_near_dups, exposed so the
     candidate budget (≪ C(n,2)) can be asserted independently."""
-    from blabel_spark.ops.similarity import _proj_bit, projection_matrix
-    tables = []
-    for t in range(n_tables):
-        W = projection_matrix(dim, n_bits, seed + t)
-        bits = [_proj_bit(F.col(vec_col), W[i]) for i in range(n_bits)]
-        tables.append(F.concat(*bits))
-    # one codegen pass computes all L buckets; one posexplode emits the
-    # (table_id, bucket) join keys
+    from blabel_spark.ops.similarity import _bucket_array_col
+    # one pass computes all L buckets (width-routed: literal codegen or
+    # the Arrow tensor kernel — see similarity._bucket_array_col); one
+    # posexplode emits the (table_id, bucket) join keys
     keyed = emb.select(
         "vec_id",
-        F.posexplode(F.array(*tables)).alias("table_id", "bucket"))
+        F.posexplode(_bucket_array_col(F.col(vec_col), dim, n_bits,
+                                       n_tables, seed))
+        .alias("table_id", "bucket"))
     left = keyed.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
     right = keyed.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
     return (left.join(right, ["table_id", "bucket"])
