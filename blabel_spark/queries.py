@@ -108,8 +108,15 @@ def q_wl_round(spark, sf):
     """J1+A1 skeleton: ONE colour-refinement iteration in SQL-checkable
     form — edge messages md5(other|pred|dir) grouped per bnode, sorted,
     re-hashed with the previous colour (GraphColouring.java:505-548 with
-    md5-of-concat standing in for the Guava fold)."""
-    t = build_triples(spark, sf).dropDuplicates()
+    md5-of-concat standing in for the Guava fold).
+
+    Triple-set semantics ride the aggregation itself: a bnode's message
+    is an injective image of its (direction, pred, other) edge, so
+    duplicate input triples are exactly duplicate (bnode, msg) rows and
+    ``collect_set`` dedupes them map-side — no corpus-wide
+    dropDuplicates exchange before the groupBy (same md5-collision
+    budget the engine accepts everywhere)."""
+    t = build_triples(spark, sf)
     init = lambda c: F.md5(F.col(c))  # initial colour = md5(term)
     subj_msgs = t.where(_is_b("subj")).select(
         "graph_id", F.col("subj").alias("bnode"),
@@ -122,7 +129,7 @@ def q_wl_round(spark, sf):
     msgs = subj_msgs.union(obj_msgs)
     return (msgs.groupBy("graph_id", "bnode")
             .agg(F.md5(F.concat(
-                F.array_join(F.sort_array(F.collect_list("msg")), ","),
+                F.array_join(F.sort_array(F.collect_set("msg")), ","),
                 F.lit("|"), F.md5(F.col("bnode")))).alias("color")))
 
 
@@ -220,11 +227,15 @@ def q_graph_dup_census(spark, sf):
     """A9+A5 skeleton: duplicate-graph census by order-insensitive graph
     hash (RunNQuadsTest.java:455-473) — md5 of the sorted serialized
     triples standing in for combineUnordered."""
-    t = build_triples(spark, sf).dropDuplicates()
+    # serialized triples are injective of the triple (subj/pred carry no
+    # spaces in N3), so duplicate input triples are exactly duplicate ts
+    # values and ``collect_set`` enforces set semantics map-side — no
+    # corpus-wide dropDuplicates exchange before the groupBy
+    t = build_triples(spark, sf)
     tstr = t.select("graph_id", F.concat_ws(" ", "subj", "pred", "obj")
                     .alias("ts"))
     ghash = tstr.groupBy("graph_id").agg(
-        F.md5(F.array_join(F.sort_array(F.collect_list("ts")), "\n"))
+        F.md5(F.array_join(F.sort_array(F.collect_set("ts")), "\n"))
         .alias("graph_hash"))
     return (ghash.groupBy("graph_hash")
             .agg(F.count("*").alias("n_graphs"))
@@ -280,21 +291,26 @@ def q_trivial_nonlean(spark, sf):
     duplicate edge row, so the edge-level ``distinct()`` below subsumes
     triple dedup — one fewer corpus-wide exchange of the raw strings."""
     t = build_triples(spark, sf)
-    # edge identity (direction, pred, other-end) interned as a 128-bit
-    # xxhash64 pair scoped by graph — every join/groupBy below moves
-    # fixed-width longs instead of the concatenated edge strings (the
-    # same flyweight-interning trick as the canonical fixpoint, S4)
+    # edge identity (direction, pred, other-end) AND the node itself are
+    # interned as 128-bit xxhash64 pairs scoped by graph — every join,
+    # groupBy and distinct below moves fixed-width longs instead of N3
+    # strings (the same flyweight-interning trick as the canonical
+    # fixpoint, S4); the node string itself is only needed for the bnode
+    # test, applied before interning
     def side(node, mark, other):
         e = F.concat(F.lit(mark), "pred", F.lit("|"), F.col(other))
         return t.select(
-            "graph_id", F.col(node).alias("node"),
+            "graph_id",
+            F.col(node).startswith("_:").alias("is_b"),
+            F.xxhash64(F.lit(1), "graph_id", F.col(node)).alias("nk0"),
+            F.xxhash64(F.lit(2), "graph_id", F.col(node)).alias("nk1"),
             F.xxhash64(F.lit(1), "graph_id", e).alias("e0"),
             F.xxhash64(F.lit(2), "graph_id", e).alias("e1"))
 
     edges = (side("subj", "+|", "obj")
              .union(side("obj", "-|", "subj"))
              .distinct()).localCheckpoint(True)
-    bedges = edges.where(F.col("node").startswith("_:"))
+    bedges = edges.where(F.col("is_b"))
     # per-edge frequency → each bnode's rarest edge (deterministic
     # (f, e-key) tie-break; completeness is preserved for EVERY
     # probe-edge choice, so the tie-break only pins the plan).  The same
@@ -304,34 +320,40 @@ def q_trivial_nonlean(spark, sf):
     freq = edges.groupBy("e0", "e1").agg(F.count("*").alias("f"))
     rare = (
         bedges.join(freq, ["e0", "e1"])
-        .groupBy("graph_id", "node")
+        .groupBy("graph_id", "nk0", "nk1")
         .agg(F.min_by(F.struct("e0", "e1"),
                       F.struct("f", "e0", "e1")).alias("ek"),
              F.count("*").alias("n_x"))
-        .select("graph_id", F.col("node").alias("x"),
+        .select("graph_id", F.col("nk0").alias("x0"),
+                F.col("nk1").alias("x1"),
                 F.col("ek.e0").alias("e0"), F.col("ek.e1").alias("e1"),
                 "n_x")
     )
+    # the edge keys embed the graph id, so e-keyed joins never cross
+    # graphs and graph_id only travels where the output needs it
     cand = (
-        rare.join(edges.select(F.col("node").alias("y"), "e0", "e1"),
+        rare.join(edges.select(F.col("nk0").alias("y0"),
+                               F.col("nk1").alias("y1"), "e0", "e1"),
                   ["e0", "e1"])
-        .where(F.col("x") != F.col("y"))
-        .select("graph_id", "x", "y", "n_x")
+        .where((F.col("x0") != F.col("y0")) | (F.col("x1") != F.col("y1")))
+        .select("graph_id", "x0", "x1", "y0", "y1", "n_x")
     )
     # containment verify on surviving pairs only: every edge of x must be
     # an edge of y
-    xe = bedges.select("graph_id", F.col("node").alias("x"), "e0", "e1")
-    ye = edges.select("graph_id", F.col("node").alias("y"), "e0", "e1")
+    xe = bedges.select(F.col("nk0").alias("x0"), F.col("nk1").alias("x1"),
+                       "e0", "e1")
+    ye = edges.select(F.col("nk0").alias("y0"), F.col("nk1").alias("y1"),
+                      "e0", "e1")
     matched = (
-        cand.join(xe, ["graph_id", "x"])
-        .join(ye, ["graph_id", "y", "e0", "e1"], "left_semi")
-        .groupBy("graph_id", "x", "y", "n_x")
+        cand.join(xe, ["x0", "x1"])
+        .join(ye, ["y0", "y1", "e0", "e1"], "left_semi")
+        .groupBy("graph_id", "x0", "x1", "y0", "y1", "n_x")
         .agg(F.count("*").alias("n_match"))
     )
     dominated = (
         matched
         .where(F.col("n_match") == F.col("n_x"))
-        .select("graph_id", F.col("x").alias("bnode"))
+        .select("graph_id", "x0", "x1")
         .distinct()
     )
     return dominated.groupBy("graph_id").agg(

@@ -12,6 +12,39 @@ from pyspark.sql import SparkSession
 
 HASH_BYTES = 16
 
+# context ids whose Python worker pool has been pre-forked (see below)
+_PREWARMED: set = set()
+
+
+def _prewarm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Fork the Python worker pool and import its heavy modules once at
+    session construction.
+
+    The first Arrow-UDF stage of a session otherwise pays one fork +
+    ``import pandas/numpy`` (~0.3-1 s) per core INSIDE whatever operator
+    happens to run first, misattributing interpreter startup to that
+    operator.  Production executors are long-lived, so this belongs to
+    session setup; with ``spark.python.worker.reuse`` (the default) the
+    warmed pool serves every later stage.  Gated by
+    ``SPARK_GRAFT_PREWARM=0`` for latency-sensitive one-shot scripts."""
+    ctx = spark.sparkContext
+    key = ctx.applicationId
+    if key in _PREWARMED or os.environ.get("SPARK_GRAFT_PREWARM") == "0":
+        return
+    _PREWARMED.add(key)
+
+    def touch(batches):
+        import numpy  # noqa: F401  — preload the kernel deps per worker
+        import pandas  # noqa: F401
+        yield from batches
+
+    try:
+        (spark.range(cpus).repartition(cpus)
+         .mapInPandas(touch, "id long")
+         .write.format("noop").mode("overwrite").save())
+    except Exception:  # pragma: no cover — warmup must never fail a job
+        pass
+
 
 def get_spark(app: str = "blabel-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -37,7 +70,7 @@ def get_spark(app: str = "blabel-spark", cpus: int | None = None,
                            "jvm", "blabel-udfs.jar")
     if os.path.exists(udf_jar):
         builder = builder.config("spark.jars", udf_jar)
-    return (
+    spark = (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -70,5 +103,7 @@ def get_spark(app: str = "blabel-spark", cpus: int | None = None,
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
+    _prewarm_python_workers(spark, cpus)
+    return spark
 
 
