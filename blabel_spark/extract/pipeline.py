@@ -63,19 +63,25 @@ def normalize_turns(transcripts: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _detect_jvm(turns: DataFrame) -> DataFrame:
-    """Catalyst-only: regexp_extract_all for full matches, then per-match
-    group extraction — stays inside whole-stage codegen."""
+    """Catalyst-only: ONE regexp_extract_all pass for full matches; the
+    three capture groups are then recovered with plain string ops (the
+    grammar makes a match unambiguous: first token = subject, last token
+    before the dot = object, the middle words = the relation), so the
+    regex engine runs once per turn instead of once plus three times per
+    mention — identical output to per-group regexp_extract, pinned by
+    the JVM/Arrow parity test."""
     pat = MENTION_PATTERN.replace("'", "\\'")
     matches = turns.select(
         "conv_id", "turn_idx",
         F.expr(f"regexp_extract_all(text, '{pat}', 0)").alias("ms"))
     m = matches.select("conv_id", "turn_idx",
                        F.explode("ms").alias("m"))
+    toks = F.split(F.expr("substring(m, 1, length(m) - 1)"), " ")
     return m.select(
         "conv_id", "turn_idx",
-        F.regexp_extract("m", MENTION_PATTERN, 1).alias("subj_surface"),
-        F.regexp_extract("m", MENTION_PATTERN, 2).alias("rel"),
-        F.regexp_extract("m", MENTION_PATTERN, 3).alias("obj_surface"))
+        F.element_at(toks, 1).alias("subj_surface"),
+        F.array_join(F.slice(toks, 2, F.size(toks) - 2), " ").alias("rel"),
+        F.element_at(toks, -1).alias("obj_surface"))
 
 
 _COMPILED = re.compile(MENTION_PATTERN)
