@@ -281,6 +281,11 @@ def lsh_topk_many(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     Returns (query_id, vec_id, label, sim, rank), rank 1..k by
     descending cosine, ties broken by vec_id.
+
+    Precondition (ADVICE r5): ``vec_id`` must be unique in ``emb`` and
+    ``query_id`` unique in ``queries`` — the candidate set is deduped at
+    the id level and the payload re-attach joins would re-expand
+    duplicate id rows into duplicate scored rows.
     """
     from pyspark.sql import Window
 
