@@ -472,15 +472,16 @@ def _next_colors(msgs: DataFrame, lab: DataFrame,
     # handful of Python-worker roundtrips instead of the full default
     # partition count (capped at the default — 10^12-row rounds are
     # unaffected; ≥ ~20k bnodes per task keeps Arrow batches efficient).
-    # Rounded UP to a multiple of the core count: a partition count just
-    # above it leaves most cores idle through a straggler second wave.
+    # The target is used DIRECTLY (round 5 rounded it up to a multiple of
+    # the core count against second-wave stragglers, but when target <
+    # cores every task is < 20k bnodes by construction and the measured
+    # ~4 ms/task Python-runner overhead dominates: 32 tasks where 6
+    # suffice cost ~120 ms of pure launch overhead per round).
     parts = None
     if lab_rows:
         spark = msgs.sparkSession
         default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        cores = spark.sparkContext.defaultParallelism
-        target = max(1, lab_rows // 20_000 + 1)
-        parts = min(default, -(-target // cores) * cores)
+        parts = min(default, max(1, lab_rows // 20_000 + 1))
     return fold_messages(all_msgs, parts)
 
 
